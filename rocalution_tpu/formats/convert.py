@@ -1,0 +1,125 @@
+"""Format conversions (reference: src/base/host/host_conversion.cpp — any↔CSR↔any).
+
+Conversions are setup-phase operations (like the reference's `ConvertTo`,
+local_matrix.cpp) and run host-side with numpy; the resulting format pytree
+lives on device. CSR is the hub format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bcsr import BCSR
+from .coo import COO
+from .csr import CSR
+from .dense import DENSE
+from .dia import DIA
+from .ell import ELL
+from .hyb import HYB
+from .mcsr import MCSR
+
+FORMATS = {
+    "CSR": CSR,
+    "COO": COO,
+    "ELL": ELL,
+    "DIA": DIA,
+    "HYB": HYB,
+    "BCSR": BCSR,
+    "MCSR": MCSR,
+    "DENSE": DENSE,
+}
+
+
+def to_csr(mat) -> CSR:
+    """Convert any format to CSR (host-side)."""
+    if isinstance(mat, CSR):
+        return mat
+    if isinstance(mat, COO):
+        return CSR.from_coo(
+            np.asarray(mat.row), np.asarray(mat.col), np.asarray(mat.data), mat.shape
+        )
+    if isinstance(mat, ELL):
+        ind = np.asarray(mat.indices)
+        dat = np.asarray(mat.data)
+        rows = np.broadcast_to(
+            np.arange(mat.shape[0])[:, None], ind.shape
+        )
+        mask = ind >= 0
+        return CSR.from_coo(rows[mask], ind[mask], dat[mask], mat.shape)
+    if isinstance(mat, DIA):
+        dat = np.asarray(mat.data)
+        n, m = mat.shape
+        rows_all, cols_all, vals_all = [], [], []
+        for d, off in enumerate(mat.offsets):
+            rows = np.arange(max(0, -off), min(n, m - off))
+            cols = rows + off
+            vals = dat[d, rows]
+            keep = vals != 0
+            rows_all.append(rows[keep])
+            cols_all.append(cols[keep])
+            vals_all.append(vals[keep])
+        if rows_all:
+            return CSR.from_coo(
+                np.concatenate(rows_all),
+                np.concatenate(cols_all),
+                np.concatenate(vals_all),
+                mat.shape,
+            )
+        return CSR.from_coo([], [], [], mat.shape)
+    if isinstance(mat, HYB):
+        a = to_csr(mat.ell)
+        b = to_csr(mat.coo)
+        ra = np.asarray(a.row_ids); ca = np.asarray(a.indices); va = np.asarray(a.data)
+        rb = np.asarray(b.row_ids); cb = np.asarray(b.indices); vb = np.asarray(b.data)
+        return CSR.from_coo(
+            np.concatenate([ra, rb]),
+            np.concatenate([ca, cb]),
+            np.concatenate([va, vb]),
+            mat.shape,
+        )
+    if isinstance(mat, BCSR):
+        return CSR.from_dense(np.asarray(mat.to_dense()))
+    if isinstance(mat, MCSR):
+        o = mat.offd
+        rows = np.asarray(o.row_ids); cols = np.asarray(o.indices)
+        vals = np.asarray(o.data)
+        n = min(mat.shape)
+        drows = np.arange(n)
+        diag = np.asarray(mat.diag)[:n]
+        keep = diag != 0
+        return CSR.from_coo(
+            np.concatenate([rows, drows[keep]]),
+            np.concatenate([cols, drows[keep]]),
+            np.concatenate([vals, diag[keep]]),
+            mat.shape,
+        )
+    if isinstance(mat, DENSE):
+        return CSR.from_dense(np.asarray(mat.data))
+    raise TypeError(f"cannot convert {type(mat).__name__} to CSR")
+
+
+def convert(mat, fmt: str, **kwargs):
+    """Convert a matrix to the named format (analog LocalMatrix::ConvertTo)."""
+    fmt = fmt.upper()
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; options: {sorted(FORMATS)}")
+    if type(mat).__name__ == fmt:
+        return mat
+    csr = to_csr(mat)
+    if fmt == "CSR":
+        return csr
+    if fmt == "COO":
+        return COO.from_arrays(csr.row_ids, csr.indices, csr.data, csr.shape)
+    if fmt == "ELL":
+        return ELL.from_csr_host(csr, **kwargs)
+    if fmt == "DIA":
+        return DIA.from_csr_host(csr)
+    if fmt == "HYB":
+        return HYB.from_csr_host(csr, **kwargs)
+    if fmt == "BCSR":
+        return BCSR.from_csr_host(csr, kwargs.get("block_dim", 4))
+    if fmt == "MCSR":
+        return MCSR.from_csr_host(csr)
+    if fmt == "DENSE":
+        return DENSE.from_csr_host(csr)
+    raise AssertionError

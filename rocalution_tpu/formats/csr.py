@@ -1,0 +1,103 @@
+"""CSR storage format.
+
+Reference parity: `MatrixCSR` struct (src/base/matrix_formats.hpp:51-66) and
+`HostMatrixCSR` / `HIPAcceleratorMatrixCSR` op surface. TPU-native twist: we
+additionally carry `row_ids` (the COO-expanded row index of every nonzero) so
+SpMV lowers to a vectorized multiply + `segment_sum` — the natural XLA
+formulation — without per-call recomputation, and CSR ops never loop over rows
+in Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import MatrixBase, register_format, static_field
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class CSR(MatrixBase):
+    data: jnp.ndarray        # (nnz,) values
+    indices: jnp.ndarray     # (nnz,) column indices, int32
+    indptr: jnp.ndarray      # (nrow+1,) row pointers, int32
+    row_ids: jnp.ndarray     # (nnz,) row index of each nonzero, int32
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @staticmethod
+    def from_arrays(data, indices, indptr, shape) -> "CSR":
+        """Build from classic CSR triplet; computes row_ids once (host or traced)."""
+        nnz = int(np.asarray(data.shape)[0]) if hasattr(data, "shape") else len(data)
+        nrow = int(shape[0])
+        if isinstance(indptr, np.ndarray) or not hasattr(indptr, "aval"):
+            ip = np.asarray(indptr, dtype=np.int64)
+            row_ids = np.repeat(np.arange(nrow, dtype=np.int32), np.diff(ip))
+            row_ids = jnp.asarray(row_ids)
+        else:
+            counts = jnp.diff(indptr)
+            row_ids = jnp.repeat(
+                jnp.arange(nrow, dtype=jnp.int32), counts, total_repeat_length=nnz
+            )
+        return CSR(
+            data=jnp.asarray(data),
+            indices=jnp.asarray(indices, dtype=jnp.int32),
+            indptr=jnp.asarray(indptr, dtype=jnp.int32),
+            row_ids=row_ids,
+            shape=(int(shape[0]), int(shape[1])),
+        )
+
+    @staticmethod
+    def from_coo(rows, cols, vals, shape, sum_duplicates: bool = True) -> "CSR":
+        """Host-side build from COO triplets (sorts by (row, col))."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        if sum_duplicates and len(rows) > 0:
+            keep = np.ones(len(rows), dtype=bool)
+            same = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+            if same.any():
+                # accumulate duplicate entries
+                group = np.concatenate([[0], np.cumsum(~same)])
+                out_vals = np.zeros(group[-1] + 1, dtype=vals.dtype)
+                np.add.at(out_vals, group, vals)
+                first = np.concatenate([[True], ~same])
+                rows, cols, vals = rows[first], cols[first], out_vals
+        nrow = int(shape[0])
+        indptr = np.zeros(nrow + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        return CSR.from_arrays(vals, cols, indptr, shape)
+
+    @staticmethod
+    def from_dense(dense) -> "CSR":
+        d = np.asarray(dense)
+        rows, cols = np.nonzero(d)
+        return CSR.from_coo(rows, cols, d[rows, cols], d.shape)
+
+    def to_dense(self) -> jnp.ndarray:
+        out = jnp.zeros(self.shape, dtype=self.data.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+    def transpose_host(self) -> "CSR":
+        """Host-side transpose (setup phase; analog LocalMatrix::Transpose)."""
+        rows = np.asarray(self.row_ids)
+        cols = np.asarray(self.indices)
+        vals = np.asarray(self.data)
+        return CSR.from_coo(cols, rows, vals, (self.shape[1], self.shape[0]))
+
+    def numpy_triplet(self):
+        return (
+            np.asarray(self.data),
+            np.asarray(self.indices, dtype=np.int64),
+            np.asarray(self.indptr, dtype=np.int64),
+        )

@@ -1,0 +1,118 @@
+"""Level-1 vector operations.
+
+Reference parity: the LocalVector op surface (src/base/local_vector.hpp:68-670)
+and its host/HIP kernels (host_vector.cpp, hip_vector.cpp via rocBLAS). On TPU
+these are single jnp expressions — XLA fuses chains of them into one VPU pass,
+which is the idiomatic replacement for rocBLAS calls. Complex-aware like the
+reference (src/utils/math_functions.*).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dot(x, y):
+    """Conjugated dot <x,y> (reference: LocalVector::Dot)."""
+    return jnp.vdot(x, y)
+
+
+def dot_nonconj(x, y):
+    """Non-conjugated dot (reference: LocalVector::DotNonConj)."""
+    return jnp.sum(x * y)
+
+
+def norm(x):
+    """Euclidean norm (reference: LocalVector::Norm)."""
+    return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+
+
+def asum(x):
+    """Sum of absolute values (reference: LocalVector::Asum)."""
+    return jnp.sum(jnp.abs(x))
+
+
+def amax(x):
+    """Index and value of max-|x| entry (reference: LocalVector::Amax)."""
+    idx = jnp.argmax(jnp.abs(x))
+    return idx, x[idx]
+
+
+def reduce_sum(x):
+    """Sum reduction (reference: LocalVector::Reduce)."""
+    return jnp.sum(x)
+
+
+def scale(x, alpha):
+    return alpha * x
+
+
+def add_scale(x, y, alpha):
+    """x + alpha*y (reference: LocalVector::AddScale — axpy)."""
+    return x + alpha * y
+
+
+def scale_add(x, y, alpha):
+    """alpha*x + y (reference: LocalVector::ScaleAdd)."""
+    return alpha * x + y
+
+
+def scale_add_scale(x, y, alpha, beta):
+    """alpha*x + beta*y (reference: LocalVector::ScaleAddScale)."""
+    return alpha * x + beta * y
+
+
+def scale_add2(x, y, z, alpha, beta, gamma):
+    """alpha*x + beta*y + gamma*z (reference: LocalVector::ScaleAdd2)."""
+    return alpha * x + beta * y + gamma * z
+
+
+def pointwise_mult(x, y, z=None):
+    """x .* y (or y .* z) (reference: LocalVector::PointWiseMult)."""
+    if z is None:
+        return x * y
+    return y * z
+
+
+def power(x, p):
+    """Elementwise power (reference: LocalVector::Power)."""
+    return jnp.power(x, p)
+
+
+def inclusive_sum(x):
+    """Inclusive prefix sum (reference: LocalVector::InclusiveSum)."""
+    return jnp.cumsum(x)
+
+
+def exclusive_sum(x):
+    """Exclusive prefix sum (reference: LocalVector::ExclusiveSum)."""
+    c = jnp.cumsum(x)
+    return c - x
+
+
+def permute(x, perm):
+    """out[perm[i]] = x[i] (reference: LocalVector::Permute semantics)."""
+    return jnp.zeros_like(x).at[perm].set(x)
+
+
+def permute_backward(x, perm):
+    """out[i] = x[perm[i]] (reference: LocalVector::PermuteBackward)."""
+    return x[perm]
+
+
+def get_index_values(x, idx):
+    """Gather (reference: LocalVector::GetIndexValues — halo gather)."""
+    return x[idx]
+
+
+def set_index_values(x, idx, values):
+    """Scatter (reference: LocalVector::SetIndexValues — halo scatter)."""
+    return x.at[idx].set(values)
+
+
+def add_index_values(x, idx, values):
+    return x.at[idx].add(values)
+
+
+def sigma_norm(x, sigma):  # pragma: no cover - utility
+    return jnp.sqrt(jnp.real(jnp.vdot(x, x)) + sigma)

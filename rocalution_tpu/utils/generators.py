@@ -1,0 +1,95 @@
+"""Test-problem generators.
+
+Reference parity: `gen_2d_laplacian` (clients/include/utility.hpp:46) and the
+weak-scaling grid generators (clients/samples/laplace_2d_weak_scaling.cpp,
+laplace_3d_weak_scaling.cpp). Built host-side with numpy (setup phase).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import default_dtype
+from ..formats import CSR
+
+
+def laplacian_2d(n: int, dtype=None) -> CSR:
+    """5-point 2D Laplacian on an n x n grid (Dirichlet), N = n^2 unknowns."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    N = n * n
+    idx = np.arange(N, dtype=np.int64)
+    ix = idx % n
+    iy = idx // n
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask])
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    add(np.ones(N, dtype=bool), idx, idx, 4.0)
+    add(ix > 0, idx, idx - 1, -1.0)
+    add(ix < n - 1, idx, idx + 1, -1.0)
+    add(iy > 0, idx, idx - n, -1.0)
+    add(iy < n - 1, idx, idx + n, -1.0)
+    return CSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (N, N)
+    )
+
+
+def laplacian_3d(n: int, dtype=None) -> CSR:
+    """7-point 3D Laplacian on an n^3 grid (Dirichlet)."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    N = n * n * n
+    idx = np.arange(N, dtype=np.int64)
+    ix = idx % n
+    iy = (idx // n) % n
+    iz = idx // (n * n)
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask])
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    add(np.ones(N, dtype=bool), idx, idx, 6.0)
+    add(ix > 0, idx, idx - 1, -1.0)
+    add(ix < n - 1, idx, idx + 1, -1.0)
+    add(iy > 0, idx, idx - n, -1.0)
+    add(iy < n - 1, idx, idx + n, -1.0)
+    add(iz > 0, idx, idx - n * n, -1.0)
+    add(iz < n - 1, idx, idx + n * n, -1.0)
+    return CSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (N, N)
+    )
+
+
+def permuted_identity(n: int, seed: int = 0, dtype=None) -> CSR:
+    """Random permutation matrix (reference bench matrix_init 'permuted_identity',
+    clients/benchmarks/rocalution_enum_matrix_init.hpp:33-36)."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    return CSR.from_coo(np.arange(n), perm, np.ones(n, dtype=dtype), (n, n))
+
+
+def random_spd(n: int, density: float = 0.05, seed: int = 0, dtype=None) -> CSR:
+    """Random diagonally-dominant SPD matrix for solver tests."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    rng = np.random.default_rng(seed)
+    nnz = max(1, int(n * n * density / 2))
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    v = rng.standard_normal(len(r)).astype(dtype)
+    rows = np.concatenate([r, c])
+    cols = np.concatenate([c, r])
+    vals = np.concatenate([v, v])  # symmetric
+    # diagonal dominance
+    dom = np.zeros(n, dtype=dtype)
+    np.add.at(dom, rows, np.abs(vals))
+    rows = np.concatenate([rows, np.arange(n)])
+    cols = np.concatenate([cols, np.arange(n)])
+    vals = np.concatenate([vals, dom + 1.0])
+    return CSR.from_coo(rows, cols, vals, (n, n))
