@@ -67,3 +67,24 @@ def as_index(a) -> jnp.ndarray:
 
 def host_index(a) -> np.ndarray:
     return np.asarray(a, dtype=np.int32)
+
+
+# --- host-side array cache -------------------------------------------------
+#
+# Platform constraint (measured on the axon TPU tunnel): ANY device->host
+# transfer permanently switches the process into a synchronous dispatch mode
+# with ~7 ms per-op overhead. Setup-phase code (conversions, factorizations,
+# partitioning) therefore keeps numpy copies of arrays created on host, so it
+# never has to read device memory back. The cache is attached outside the
+# dataclass fields, so it is invisible to jax pytree flattening.
+
+def set_host_cache(obj, **arrays) -> None:
+    object.__setattr__(obj, "_host_cache", {k: v for k, v in arrays.items()})
+
+
+def get_host(obj, name: str):
+    """Host numpy version of field `name`; falls back to a device read."""
+    cache = getattr(obj, "_host_cache", None)
+    if cache is not None and name in cache:
+        return cache[name]
+    return np.asarray(getattr(obj, name))

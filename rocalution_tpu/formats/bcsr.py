@@ -12,7 +12,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -35,7 +36,7 @@ class BCSR(MatrixBase):
 
     @property
     def nnz(self) -> int:
-        return int(np.count_nonzero(np.asarray(self.data)))
+        return int(np.count_nonzero(get_host(self, "data")))
 
     @staticmethod
     def from_csr_host(csr, block_dim: int) -> "BCSR":
@@ -61,7 +62,7 @@ class BCSR(MatrixBase):
         bindptr = np.zeros(nrowb + 1, dtype=np.int64)
         np.add.at(bindptr, ub_rows + 1, 1)
         bindptr = np.cumsum(bindptr)
-        return BCSR(
+        out = BCSR(
             data=jnp.asarray(blocks),
             indices=jnp.asarray(ub_cols),
             indptr=jnp.asarray(bindptr, dtype=jnp.int32),
@@ -69,6 +70,8 @@ class BCSR(MatrixBase):
             block_dim=bd,
             shape=(nrow, ncol),
         )
+        set_host_cache(out, data=blocks, indices=ub_cols, row_ids=ub_rows)
+        return out
 
     def to_dense(self) -> jnp.ndarray:
         bd = self.block_dim

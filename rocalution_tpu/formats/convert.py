@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .base import get_host
 from .bcsr import BCSR
 from .coo import COO
 from .csr import CSR
@@ -36,18 +37,19 @@ def to_csr(mat) -> CSR:
         return mat
     if isinstance(mat, COO):
         return CSR.from_coo(
-            np.asarray(mat.row), np.asarray(mat.col), np.asarray(mat.data), mat.shape
+            get_host(mat, "row"), get_host(mat, "col"), get_host(mat, "data"),
+            mat.shape,
         )
     if isinstance(mat, ELL):
-        ind = np.asarray(mat.indices)
-        dat = np.asarray(mat.data)
+        ind = get_host(mat, "indices")
+        dat = get_host(mat, "data")
         rows = np.broadcast_to(
             np.arange(mat.shape[0])[:, None], ind.shape
         )
         mask = ind >= 0
         return CSR.from_coo(rows[mask], ind[mask], dat[mask], mat.shape)
     if isinstance(mat, DIA):
-        dat = np.asarray(mat.data)
+        dat = get_host(mat, "data")
         n, m = mat.shape
         rows_all, cols_all, vals_all = [], [], []
         for d, off in enumerate(mat.offsets):
@@ -69,8 +71,8 @@ def to_csr(mat) -> CSR:
     if isinstance(mat, HYB):
         a = to_csr(mat.ell)
         b = to_csr(mat.coo)
-        ra = np.asarray(a.row_ids); ca = np.asarray(a.indices); va = np.asarray(a.data)
-        rb = np.asarray(b.row_ids); cb = np.asarray(b.indices); vb = np.asarray(b.data)
+        ra = a.numpy_rows(); ca = get_host(a, "indices"); va = get_host(a, "data")
+        rb = b.numpy_rows(); cb = get_host(b, "indices"); vb = get_host(b, "data")
         return CSR.from_coo(
             np.concatenate([ra, rb]),
             np.concatenate([ca, cb]),
@@ -78,14 +80,24 @@ def to_csr(mat) -> CSR:
             mat.shape,
         )
     if isinstance(mat, BCSR):
-        return CSR.from_dense(np.asarray(mat.to_dense()))
+        blocks = get_host(mat, "data")       # (nnzb, bd, bd)
+        brow = get_host(mat, "row_ids")
+        bcol = get_host(mat, "indices")
+        bd = mat.block_dim
+        nb, _, _ = blocks.shape
+        br, bc = np.nonzero(np.ones((bd, bd), dtype=bool))
+        rows = (brow[:, None] * bd + br[None, :]).reshape(-1)
+        cols = (bcol[:, None] * bd + bc[None, :]).reshape(-1)
+        vals = blocks.reshape(nb, -1).reshape(-1)
+        keep = (vals != 0) & (rows < mat.shape[0]) & (cols < mat.shape[1])
+        return CSR.from_coo(rows[keep], cols[keep], vals[keep], mat.shape)
     if isinstance(mat, MCSR):
         o = mat.offd
-        rows = np.asarray(o.row_ids); cols = np.asarray(o.indices)
-        vals = np.asarray(o.data)
+        rows = o.numpy_rows(); cols = get_host(o, "indices")
+        vals = get_host(o, "data")
         n = min(mat.shape)
         drows = np.arange(n)
-        diag = np.asarray(mat.diag)[:n]
+        diag = get_host(mat, "diag")[:n]
         keep = diag != 0
         return CSR.from_coo(
             np.concatenate([rows, drows[keep]]),
@@ -94,7 +106,7 @@ def to_csr(mat) -> CSR:
             mat.shape,
         )
     if isinstance(mat, DENSE):
-        return CSR.from_dense(np.asarray(mat.data))
+        return CSR.from_dense(get_host(mat, "data"))
     raise TypeError(f"cannot convert {type(mat).__name__} to CSR")
 
 

@@ -8,7 +8,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -25,12 +26,20 @@ class COO(MatrixBase):
 
     @staticmethod
     def from_arrays(row, col, data, shape) -> "COO":
-        return COO(
+        out = COO(
             data=jnp.asarray(data),
             row=jnp.asarray(row, dtype=jnp.int32),
             col=jnp.asarray(col, dtype=jnp.int32),
             shape=(int(shape[0]), int(shape[1])),
         )
+        if isinstance(data, np.ndarray) or not hasattr(data, "aval"):
+            set_host_cache(
+                out,
+                data=np.asarray(data),
+                row=np.asarray(row, dtype=np.int64),
+                col=np.asarray(col, dtype=np.int64),
+            )
+        return out
 
     @staticmethod
     def from_dense(dense) -> "COO":

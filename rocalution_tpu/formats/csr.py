@@ -16,7 +16,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -37,22 +38,32 @@ class CSR(MatrixBase):
         """Build from classic CSR triplet; computes row_ids once (host or traced)."""
         nnz = int(np.asarray(data.shape)[0]) if hasattr(data, "shape") else len(data)
         nrow = int(shape[0])
-        if isinstance(indptr, np.ndarray) or not hasattr(indptr, "aval"):
+        host_side = isinstance(indptr, np.ndarray) or not hasattr(indptr, "aval")
+        if host_side:
             ip = np.asarray(indptr, dtype=np.int64)
-            row_ids = np.repeat(np.arange(nrow, dtype=np.int32), np.diff(ip))
-            row_ids = jnp.asarray(row_ids)
+            row_ids_np = np.repeat(np.arange(nrow, dtype=np.int32), np.diff(ip))
+            row_ids = jnp.asarray(row_ids_np)
         else:
             counts = jnp.diff(indptr)
             row_ids = jnp.repeat(
                 jnp.arange(nrow, dtype=jnp.int32), counts, total_repeat_length=nnz
             )
-        return CSR(
+        out = CSR(
             data=jnp.asarray(data),
             indices=jnp.asarray(indices, dtype=jnp.int32),
             indptr=jnp.asarray(indptr, dtype=jnp.int32),
             row_ids=row_ids,
             shape=(int(shape[0]), int(shape[1])),
         )
+        if host_side:
+            set_host_cache(
+                out,
+                data=np.asarray(data),
+                indices=np.asarray(indices, dtype=np.int64),
+                indptr=np.asarray(indptr, dtype=np.int64),
+                row_ids=row_ids_np.astype(np.int64),
+            )
+        return out
 
     @staticmethod
     def from_coo(rows, cols, vals, shape, sum_duplicates: bool = True) -> "CSR":
@@ -90,14 +101,19 @@ class CSR(MatrixBase):
 
     def transpose_host(self) -> "CSR":
         """Host-side transpose (setup phase; analog LocalMatrix::Transpose)."""
-        rows = np.asarray(self.row_ids)
-        cols = np.asarray(self.indices)
-        vals = np.asarray(self.data)
+        rows = get_host(self, "row_ids")
+        cols = get_host(self, "indices")
+        vals = get_host(self, "data")
         return CSR.from_coo(cols, rows, vals, (self.shape[1], self.shape[0]))
 
     def numpy_triplet(self):
+        """Host CSR triplet; uses the host cache (no device read if built on
+        host — see base.set_host_cache for why that matters on this platform)."""
         return (
-            np.asarray(self.data),
-            np.asarray(self.indices, dtype=np.int64),
-            np.asarray(self.indptr, dtype=np.int64),
+            get_host(self, "data"),
+            get_host(self, "indices").astype(np.int64),
+            get_host(self, "indptr").astype(np.int64),
         )
+
+    def numpy_rows(self):
+        return get_host(self, "row_ids").astype(np.int64)

@@ -10,8 +10,10 @@ import dataclasses
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -26,12 +28,20 @@ class DENSE(MatrixBase):
 
     @staticmethod
     def from_array(a) -> "DENSE":
-        a = jnp.asarray(a)
-        return DENSE(data=a, shape=(int(a.shape[0]), int(a.shape[1])))
+        host = isinstance(a, np.ndarray) or not hasattr(a, "aval")
+        aj = jnp.asarray(a)
+        out = DENSE(data=aj, shape=(int(aj.shape[0]), int(aj.shape[1])))
+        if host:
+            set_host_cache(out, data=np.asarray(a))
+        return out
 
     @staticmethod
     def from_csr_host(csr) -> "DENSE":
-        return DENSE.from_array(csr.to_dense())
+        data, indices, indptr = csr.numpy_triplet()
+        rows = csr.numpy_rows()
+        dense = np.zeros(csr.shape, dtype=data.dtype)
+        np.add.at(dense, (rows, indices), data)
+        return DENSE.from_array(dense)
 
     def to_dense(self) -> jnp.ndarray:
         return self.data

@@ -14,7 +14,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -31,7 +32,7 @@ class DIA(MatrixBase):
     @property
     def nnz(self) -> int:
         """True nonzero count (explicit zeros in the band are not counted)."""
-        return int(np.count_nonzero(np.asarray(self.data)))
+        return int(np.count_nonzero(get_host(self, "data")))
 
     @property
     def nnz_stored(self) -> int:
@@ -54,11 +55,13 @@ class DIA(MatrixBase):
         dia = np.zeros((len(uniq), nrow), dtype=data.dtype)
         d_idx = np.array([off_pos[int(o)] for o in offs], dtype=np.int64)
         dia[d_idx, rows] = data
-        return DIA(
+        out = DIA(
             data=jnp.asarray(dia),
             offsets=tuple(int(o) for o in uniq),
             shape=(nrow, ncol),
         )
+        set_host_cache(out, data=dia)
+        return out
 
     def to_dense(self) -> jnp.ndarray:
         n, m = self.shape

@@ -13,7 +13,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 
 
 @register_format
@@ -31,7 +32,7 @@ class ELL(MatrixBase):
     def nnz(self) -> int:
         # Reference counts ELL nnz as nrow*width (padded); we report true nnz
         # via the padding mask for bench bookkeeping.
-        return int(np.count_nonzero(np.asarray(self.indices) >= 0))
+        return int(np.count_nonzero(get_host(self, "indices") >= 0))
 
     @property
     def nnz_padded(self) -> int:
@@ -52,11 +53,13 @@ class ELL(MatrixBase):
         keep = pos < w
         ell_data[rows[keep], pos[keep]] = data[keep]
         ell_ind[rows[keep], pos[keep]] = indices[keep]
-        return ELL(
+        out = ELL(
             data=jnp.asarray(ell_data),
             indices=jnp.asarray(ell_ind),
             shape=(nrow, ncol),
         )
+        set_host_cache(out, data=ell_data, indices=ell_ind)
+        return out
 
     def to_dense(self) -> jnp.ndarray:
         out = jnp.zeros(self.shape, dtype=self.data.dtype)

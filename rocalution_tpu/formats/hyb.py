@@ -7,7 +7,7 @@ from typing import Tuple
 
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, register_format, set_host_cache, static_field)
 from .coo import COO
 from .ell import ELL
 
@@ -46,6 +46,7 @@ class HYB(MatrixBase):
         ell_ind[rows[in_ell], pos[in_ell]] = indices[in_ell]
         tail = ~in_ell
         ell = ELL(data=_j(ell_data), indices=_j(ell_ind), shape=(nrow, ncol))
+        set_host_cache(ell, data=ell_data, indices=ell_ind)
         coo = COO.from_arrays(rows[tail], indices[tail], data[tail], (nrow, ncol))
         return HYB(ell=ell, coo=coo, shape=(nrow, ncol))
 

@@ -9,7 +9,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .base import MatrixBase, register_format, static_field
+from .base import (MatrixBase, get_host, register_format, set_host_cache,
+                   static_field)
 from .csr import CSR
 
 
@@ -38,7 +39,9 @@ class MCSR(MatrixBase):
         diag[rows[is_diag]] = data[is_diag]
         offd = CSR.from_coo(rows[~is_diag], indices[~is_diag], data[~is_diag],
                             (nrow, ncol))
-        return MCSR(diag=jnp.asarray(diag), offd=offd, shape=(nrow, ncol))
+        out = MCSR(diag=jnp.asarray(diag), offd=offd, shape=(nrow, ncol))
+        set_host_cache(out, diag=diag)
+        return out
 
     def to_dense(self) -> jnp.ndarray:
         out = self.offd.to_dense()

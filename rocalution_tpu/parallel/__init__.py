@@ -1,0 +1,17 @@
+"""Distributed (multi-chip / multi-host) operation over a jax Mesh.
+
+Replaces the reference's GlobalMatrix/GlobalVector/ParallelManager/MPI stack
+(SURVEY.md §2.7) with row-partitioned shards + ICI collectives under
+`shard_map`.
+"""
+
+from .ops import shard_operator, shard_spmv
+from .partition import (GlobalCSR, distribute_csr, distribute_vector,
+                        gather_vector)
+from .solve import block_jacobi_diag, dist_solve, make_mesh
+
+__all__ = [
+    "GlobalCSR", "distribute_csr", "distribute_vector", "gather_vector",
+    "shard_spmv", "shard_operator", "dist_solve", "make_mesh",
+    "block_jacobi_diag",
+]

@@ -1,0 +1,179 @@
+"""Row-wise domain decomposition (ParallelManager analog).
+
+Reference parity: `ParallelManager` (src/base/parallel_manager.hpp:50-298) and
+the canonical `distribute_matrix` recipe (clients/include/common.hpp:56-300):
+non-overlapping block-row partition; each rank holds an *interior* matrix
+(columns it owns, renumbered locally) and a *ghost* matrix (columns owned by
+others, renumbered into a ghost buffer), plus boundary send lists and
+ghost→owner receive maps.
+
+TPU-native design: all parts live in ONE program as stacked (P, ...) arrays
+consumed by `shard_map` over a device mesh. Shapes are padded to per-part
+maxima so every shard is identical — static shapes are what XLA wants. The
+MPI Isend/Irecv neighbor plumbing (parallel_manager.cpp:726-782) becomes a
+static gather → `all_gather` of fixed-size boundary buffers → static take;
+deterministic by construction (matches the reference's fixed communication
+order guarantee).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import CSR, to_csr
+from ..formats.base import register_format, static_field
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class GlobalCSR:
+    """Distributed CSR operator: stacked per-part interior + ghost shards.
+
+    Analog of GlobalMatrix = interior LocalMatrix + ghost LocalMatrix + PM
+    (src/base/global_matrix.hpp:57).
+    """
+
+    int_data: jnp.ndarray    # (P, nnz_int)
+    int_cols: jnp.ndarray    # (P, nnz_int) local column ids
+    int_rows: jnp.ndarray    # (P, nnz_int) local row ids (sorted)
+    ghost_data: jnp.ndarray  # (P, nnz_gst)
+    ghost_cols: jnp.ndarray  # (P, nnz_gst) indices into the ghost buffer
+    ghost_rows: jnp.ndarray  # (P, nnz_gst) local row ids (sorted)
+    send_idx: jnp.ndarray    # (P, max_send) local rows gathered into send buffer
+    recv_idx: jnp.ndarray    # (P, max_ghost) flat indices into (P*max_send)
+    nparts: int = static_field(default=1)
+    n_local: int = static_field(default=0)
+    n_global: int = static_field(default=0)    # true (unpadded) size
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+
+    @property
+    def dtype(self):
+        return self.int_data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(self.int_data))) + int(
+            np.count_nonzero(np.asarray(self.ghost_data))
+        )
+
+
+def _pad1(a, length, fill=0):
+    a = np.asarray(a)
+    out = np.full((length,), fill, dtype=a.dtype if a.size else np.int64)
+    out[: len(a)] = a
+    return out
+
+
+def distribute_csr(A, nparts: int) -> GlobalCSR:
+    """Partition a host CSR into a GlobalCSR over `nparts` shards.
+
+    Mirrors the boundary/ghost classification of clients/include/common.hpp:
+    rows are split into equal blocks (the matrix is padded with unit diagonal
+    rows to a multiple of nparts — padding rows are inert: x=0 stays 0).
+    """
+    csr = to_csr(A)
+    data, cols, indptr = csr.numpy_triplet()
+    n = csr.shape[0]
+    assert csr.shape[0] == csr.shape[1], "distribute_csr needs a square matrix"
+    P = int(nparts)
+    nl = -(-n // P)
+    n_pad = nl * P
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    if n_pad > n:
+        extra = np.arange(n, n_pad, dtype=np.int64)
+        rows = np.concatenate([rows, extra])
+        cols = np.concatenate([cols, extra])
+        data = np.concatenate([data, np.ones(n_pad - n, dtype=data.dtype)])
+
+    owner = cols // nl
+    row_owner = rows // nl
+
+    # ghost columns needed per part
+    ghost_cols_of = []
+    for p in range(P):
+        mask = (row_owner == p) & (owner != p)
+        ghost_cols_of.append(np.unique(cols[mask]))
+
+    # boundary (send) rows per part: union of other parts' ghost needs
+    send_of = []
+    for p in range(P):
+        lo, hi = p * nl, (p + 1) * nl
+        need = np.unique(
+            np.concatenate(
+                [g[(g >= lo) & (g < hi)] for q, g in enumerate(ghost_cols_of) if q != p]
+                or [np.array([], dtype=np.int64)]
+            )
+        )
+        send_of.append(need - lo)  # local indices
+
+    max_send = max(1, max(len(s) for s in send_of))
+    max_ghost = max(1, max(len(g) for g in ghost_cols_of))
+
+    # receive map: ghost col g of part p lives at owner o = g // nl, at the
+    # position of g in send_of[o]; flat index o*max_send + pos
+    recv_of = []
+    for p in range(P):
+        g = ghost_cols_of[p]
+        o = g // nl
+        flat = np.empty(len(g), dtype=np.int64)
+        for k in range(len(g)):
+            pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * nl)
+            flat[k] = o[k] * max_send + pos
+        recv_of.append(flat)
+
+    # split nnz per part into interior / ghost, renumber, pad
+    int_d, int_c, int_r, gst_d, gst_c, gst_r = [], [], [], [], [], []
+    for p in range(P):
+        lo = p * nl
+        rmask = row_owner == p
+        rp, cp, dp = rows[rmask] - lo, cols[rmask], data[rmask]
+        imask = owner[rmask] == p
+        int_d.append(dp[imask])
+        int_c.append(cp[imask] - lo)
+        int_r.append(rp[imask])
+        gmask = ~imask
+        gcols = np.searchsorted(ghost_cols_of[p], cp[gmask])
+        gst_d.append(dp[gmask])
+        gst_c.append(gcols)
+        gst_r.append(rp[gmask])
+
+    nnz_int = max(1, max(len(d) for d in int_d))
+    nnz_gst = max(1, max(len(d) for d in gst_d))
+
+    def stack(parts, length, fill, dtype=None):
+        out = np.stack([_pad1(x, length, fill) for x in parts])
+        return jnp.asarray(out if dtype is None else out.astype(dtype))
+
+    return GlobalCSR(
+        int_data=stack(int_d, nnz_int, 0, data.dtype),
+        int_cols=stack(int_c, nnz_int, 0, np.int32),
+        int_rows=stack(int_r, nnz_int, nl - 1, np.int32),
+        ghost_data=stack(gst_d, nnz_gst, 0, data.dtype),
+        ghost_cols=stack(gst_c, nnz_gst, 0, np.int32),
+        ghost_rows=stack(gst_r, nnz_gst, nl - 1, np.int32),
+        send_idx=stack(send_of, max_send, 0, np.int32),
+        recv_idx=stack(recv_of, max_ghost, 0, np.int32),
+        nparts=P,
+        n_local=nl,
+        n_global=n,
+        shape=(n, n),
+    )
+
+
+def distribute_vector(v, nparts: int, n_local: int) -> jnp.ndarray:
+    """Pad and reshape a global vector to stacked per-part shards (P, n_local)."""
+    v = np.asarray(v)
+    n_pad = nparts * n_local
+    out = np.zeros((n_pad,) + v.shape[1:], dtype=v.dtype)
+    out[: len(v)] = v
+    return jnp.asarray(out.reshape((nparts, n_local) + v.shape[1:]))
+
+
+def gather_vector(vp, n_global: int) -> jnp.ndarray:
+    """Stacked shards (P, n_local) -> global vector (n_global,)."""
+    flat = jnp.reshape(vp, (-1,) + vp.shape[2:])
+    return flat[:n_global]

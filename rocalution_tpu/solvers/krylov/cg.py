@@ -27,17 +27,18 @@ def cg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
     """Solve A x = b with (preconditioned) CG.
 
     Returns ``(x, SolverInfo)``. Tolerance kwargs: abs_tol, rel_tol, div_tol,
-    min_iter, max_iter, record_history (see IterationControl).
+    min_iter, max_iter, record_history (see IterationControl). Pass
+    ``axis_name=...`` when calling inside `shard_map` for a distributed solve.
     """
-    op, b, x, precond, ctrl = prepare(A, b, x0, M, ctrl, kwargs)
+    op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
 
     r = b - op(x)
-    res_norm = blas1.norm(r)
+    res_norm = red.norm(r)
     state = ctrl.init_residual(jnp.abs(res_norm))
 
     z = precond(r)
     p = z
-    rho = blas1.dot_nonconj(r, z)
+    rho = red.dot_nonconj(r, z)
 
     def cond(carry):
         return carry[-1].running
@@ -45,12 +46,12 @@ def cg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
     def body(carry):
         x, r, p, rho, state = carry
         q = op(p)
-        alpha = rho / blas1.dot_nonconj(p, q)
+        alpha = rho / red.dot_nonconj(p, q)
         x = x + alpha * p
         r = r - alpha * q
-        state = ctrl.check_residual(state, jnp.abs(blas1.norm(r)))
+        state = ctrl.check_residual(state, jnp.abs(red.norm(r)))
         z = precond(r)
-        rho_new = blas1.dot_nonconj(r, z)
+        rho_new = red.dot_nonconj(r, z)
         beta = rho_new / rho
         p = z + beta * p
         return (x, r, p, rho_new, state)

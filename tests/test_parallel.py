@@ -1,0 +1,75 @@
+"""Distributed-path tests on the 8-device virtual CPU mesh — automated
+multi-rank coverage (improves on the reference, SURVEY.md §4 gap)."""
+
+import jax
+import numpy as np
+import pytest
+
+import rocalution_tpu as rt
+from rocalution_tpu.parallel import (block_jacobi_diag, dist_solve,
+                                     distribute_csr, distribute_vector,
+                                     gather_vector, make_mesh, shard_spmv)
+from rocalution_tpu.solvers.krylov.cg import cg
+
+NP = 4
+
+
+@pytest.fixture(scope="module")
+def problem():
+    A = rt.laplacian_2d(12)  # 144 unknowns, not divisible by 4? 144/4=36 ok
+    x_true = np.ones(A.shape[0])
+    b = np.asarray(rt.spmv(A, x_true))
+    return A, b, x_true
+
+
+def test_partition_roundtrip_spmv(problem, rng):
+    A, b, _ = problem
+    Ag = distribute_csr(A, NP)
+    assert Ag.nnz == A.nnz
+    x = rng.standard_normal(A.shape[0])
+    xp = distribute_vector(x, NP, Ag.n_local)
+    mesh = make_mesh(NP)
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda Ash, xs: shard_spmv(Ash, xs[0], "p")[None],
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("p"), Ag), P("p")),
+        out_specs=P("p"),
+    )
+    yp = fn(Ag, xp)
+    y = np.asarray(gather_vector(yp, Ag.n_global))
+    np.testing.assert_allclose(y, np.asarray(rt.spmv(A, x)), rtol=1e-12)
+
+
+def test_dist_cg_matches_serial(problem):
+    A, b, x_true = problem
+    Ag = distribute_csr(A, NP)
+    x, info = dist_solve(cg, Ag, b, rel_tol=1e-10, max_iter=500)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6
+    # iteration count parity with serial CG
+    _, sinfo = rt.cg(A, b, rel_tol=1e-10, max_iter=500)
+    assert abs(int(info.iterations) - int(sinfo.iterations)) <= 1
+
+
+def test_dist_cg_jacobi(problem):
+    A, b, x_true = problem
+    Ag = distribute_csr(A, NP)
+    M = block_jacobi_diag(Ag)
+    x, info = dist_solve(cg, Ag, b, M=M, rel_tol=1e-10, max_iter=500)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6
+
+
+def test_uneven_partition(rng):
+    # n=100 over 8 parts -> padding rows exercised
+    A = rt.utils.generators.random_spd(100, density=0.06, seed=3)
+    x_true = rng.standard_normal(100)
+    b = np.asarray(rt.spmv(A, x_true))
+    Ag = distribute_csr(A, 8)
+    x, info = dist_solve(cg, Ag, b, rel_tol=1e-12, max_iter=2000)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-5 * max(
+        1, np.linalg.norm(x_true)
+    )
