@@ -17,10 +17,13 @@ from .backend import info, init, stop, sync
 from .config import (get_config, set_debug, set_default_dtype, set_verbose)
 from .formats import BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR, convert, to_csr
 from .ops import blas1
+from .ops.spectral import gershgorin, power_method
 from .ops.spmv import spmv, spmv_add
 from .precond.jacobi import jacobi
-from .solvers.iter_ctrl import IterationControl, SolverInfo
-from .solvers.krylov.cg import cg
+from .solvers import (IterationControl, SolverInfo, bicgstab, bicgstabl, cg,
+                      chebyshev, cr, fcg, fgmres, fixed_point,
+                      fixed_point_sweeps, gmres, idr, mixed_precision_dc,
+                      qmrcgstab)
 from .utils.generators import laplacian_2d, laplacian_3d
 
 __version__ = "0.1.0"

@@ -27,12 +27,14 @@ class ReductionOps(NamedTuple):
     dot_nonconj: Callable
     norm: Callable
     sum: Callable
+    allreduce: Callable  # identity locally; psum over the mesh axis globally
 
 
 def make_reductions(axis_name: Optional[str]) -> ReductionOps:
     if axis_name is None:
         return ReductionOps(
-            blas1.dot, blas1.dot_nonconj, blas1.norm, blas1.reduce_sum
+            blas1.dot, blas1.dot_nonconj, blas1.norm, blas1.reduce_sum,
+            lambda v: v,
         )
 
     def pdot(x, y):
@@ -47,7 +49,33 @@ def make_reductions(axis_name: Optional[str]) -> ReductionOps:
     def psum(x):
         return jax.lax.psum(jnp.sum(x), axis_name)
 
-    return ReductionOps(pdot, pdot_nc, pnorm, psum)
+    def allreduce(v):
+        return jax.lax.psum(v, axis_name)
+
+    return ReductionOps(pdot, pdot_nc, pnorm, psum, allreduce)
+
+
+def select_tree(pred, on_true, on_false):
+    """Elementwise tree select — used for mid-iteration convergence guards
+    (e.g. BiCGStab's half-step exit) without breaking `lax.while_loop`."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(pred, a, b), on_true, on_false
+    )
+
+
+def guarded_check(ctrl, state, res):
+    """check_residual only while running — lets solvers with several checks
+    per outer cycle (BiCGStab(l), IDR(s)) freeze the state after the first
+    criterion hit without leaving the `lax.while_loop` mid-body."""
+    new = ctrl.check_residual(state, res)
+    return select_tree(state.running, new, state)
+
+
+def safe_div(num, den):
+    """num/den with 0/0 -> 0 (guards terminal-iteration breakdowns that would
+    otherwise poison a masked lane with NaN)."""
+    zero = den == 0
+    return jnp.where(zero, 0.0, num / jnp.where(zero, 1.0, den))
 
 
 def identity_precond(r):

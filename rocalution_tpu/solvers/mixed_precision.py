@@ -1,0 +1,113 @@
+"""Mixed-precision defect correction.
+
+Reference parity: MixedPrecisionDC (src/solvers/mixed_precision.{hpp,cpp}) —
+outer high-precision defect-correction loop around an inner low-precision
+solver: r_h = b - A x (fp64); r_l = cast(r_h); solve A_l d_l = r_l; x += cast
+(d_l); repeat (SolveNonPrecond_ loop, mixed_precision.cpp:369-399).
+
+TPU-native significance: fp64 on TPU is software-emulated while fp32/bf16 run
+at full hardware rate, so this pattern is *strategic* here (SURVEY.md §7
+"hard parts") — the inner Krylov solve rides native f32 while the outer loop
+restores f64 accuracy. The outer loop runs as a host-side Python loop (one
+jitted inner solve per sweep), matching the reference's structure where the
+two precisions are distinct object hierarchies.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.spmv import as_operator
+from .iter_ctrl import IterationControl, SolverInfo
+from .krylov.cg import cg
+
+
+def _cast_format(A, dtype):
+    """Cast a format pytree's value arrays to `dtype` (index arrays kept)."""
+    def leaf_cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(leaf_cast, A)
+
+
+def mixed_precision_dc(
+    A,
+    b,
+    x0=None,
+    *,
+    inner_solver: Optional[Callable] = None,
+    inner_dtype=jnp.float32,
+    inner_kwargs: Optional[dict] = None,
+    abs_tol: float = 1e-15,
+    rel_tol: float = 1e-6,
+    div_tol: float = 1e8,
+    max_iter: int = 50,
+):
+    """Solve A x = b: outer defect correction in b's dtype (f64 by default),
+    inner solves in `inner_dtype` (f32 by default).
+
+    `inner_solver(A_low, r_low, **inner_kwargs) -> (d, info)` — any
+    rocalution_tpu solver; defaults to CG (the reference pairs DC with any
+    inner solver via Set(Solver_L)). Returns ``(x, SolverInfo)``.
+    """
+    solver = inner_solver or cg
+    ikw = dict(inner_kwargs or {})
+    ikw.setdefault("rel_tol", 1e-3)
+    ikw.setdefault("max_iter", 10000)
+
+    op = as_operator(A)
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    A_low = _cast_format(A, inner_dtype)
+
+    @jax.jit
+    def residual(x):
+        return b - op(x)
+
+    inner = jax.jit(
+        lambda rl: solver(A_low, rl, **ikw)[0]
+    )
+
+    r = residual(x)
+    init_res = float(jnp.linalg.norm(r))
+    res = init_res
+    status, it = 0, 0
+    history = [init_res]
+    while it < max_iter:
+        if not np.isfinite(res):
+            status = 0
+            break
+        if res <= abs_tol:
+            status = 1
+            break
+        if res / init_res <= rel_tol:
+            status = 2
+            break
+        if res / init_res >= div_tol:
+            status = 3
+            break
+        d = inner(r.astype(inner_dtype))
+        x = x + d.astype(b.dtype)
+        r = residual(x)
+        res = float(jnp.linalg.norm(r))
+        it += 1
+        history.append(res)
+    else:
+        status = 4
+
+    hist = jnp.asarray(history)
+    info = SolverInfo(
+        iterations=jnp.asarray(it),
+        status=jnp.asarray(status),
+        init_res=jnp.asarray(init_res),
+        final_res=jnp.asarray(res),
+        history=hist,
+    )
+    return x, info

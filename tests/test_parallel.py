@@ -73,3 +73,19 @@ def test_uneven_partition(rng):
     assert np.linalg.norm(np.asarray(x) - x_true) < 1e-5 * max(
         1, np.linalg.norm(x_true)
     )
+
+
+@pytest.mark.parametrize(
+    "solver",
+    [rt.cg, rt.cr, rt.fcg, rt.bicgstab, rt.bicgstabl, rt.gmres, rt.fgmres,
+     rt.idr, rt.qmrcgstab],
+)
+def test_dist_solver_family(problem, solver):
+    """Every Krylov solver serves the Global instantiation through the same
+    code path (reference: per-solver Global template instantiations)."""
+    A, b, x_true = problem
+    Ag = distribute_csr(A, NP)
+    M = block_jacobi_diag(Ag)
+    x, info = dist_solve(solver, Ag, b, M=M, rel_tol=1e-9, max_iter=2000)
+    assert int(info.status) in (1, 2), solver.__name__
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-5, solver.__name__
