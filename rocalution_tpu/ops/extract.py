@@ -1,0 +1,94 @@
+"""Structural extraction ops (host-side setup).
+
+Reference parity: LocalMatrix::ExtractL/ExtractU (with/without diagonal),
+ExtractSubMatrix/ExtractSubMatrices, ExtractDiagonal/ExtractInverseDiagonal,
+ExtractRowVector/ColumnVector (src/base/local_matrix.hpp extraction block).
+These feed preconditioner setup (GS/SGS splits, block/AS decompositions) and
+run once per matrix on the host numpy cache.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..formats import CSR
+from ..formats.base import get_host
+
+
+def _coo(A: CSR):
+    return (
+        get_host(A, "row_ids").astype(np.int64),
+        get_host(A, "indices").astype(np.int64),
+        get_host(A, "data"),
+    )
+
+
+def extract_lower(A: CSR, diag: bool = True) -> CSR:
+    """L part of A (reference: LocalMatrix::ExtractL, include diagonal when
+    `diag`)."""
+    r, c, v = _coo(A)
+    sel = (c <= r) if diag else (c < r)
+    return CSR.from_coo(r[sel], c[sel], v[sel], A.shape)
+
+
+def extract_upper(A: CSR, diag: bool = True) -> CSR:
+    """U part of A (reference: LocalMatrix::ExtractU)."""
+    r, c, v = _coo(A)
+    sel = (c >= r) if diag else (c > r)
+    return CSR.from_coo(r[sel], c[sel], v[sel], A.shape)
+
+
+def extract_submatrix(A: CSR, row_offset: int, col_offset: int,
+                      nrow: int, ncol: int) -> CSR:
+    """Contiguous submatrix (reference: LocalMatrix::ExtractSubMatrix)."""
+    r, c, v = _coo(A)
+    sel = (
+        (r >= row_offset) & (r < row_offset + nrow)
+        & (c >= col_offset) & (c < col_offset + ncol)
+    )
+    return CSR.from_coo(
+        r[sel] - row_offset, c[sel] - col_offset, v[sel], (nrow, ncol)
+    )
+
+
+def extract_index_submatrix(A: CSR, rows: np.ndarray,
+                            cols: np.ndarray) -> CSR:
+    """Submatrix by index sets (for overlapping Schwarz blocks)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    n = A.shape[0]
+    rmap = np.full(n, -1, np.int64)
+    rmap[rows] = np.arange(len(rows))
+    cmap = np.full(A.shape[1], -1, np.int64)
+    cmap[cols] = np.arange(len(cols))
+    r, c, v = _coo(A)
+    sel = (rmap[r] >= 0) & (cmap[c] >= 0)
+    return CSR.from_coo(
+        rmap[r[sel]], cmap[c[sel]], v[sel], (len(rows), len(cols))
+    )
+
+
+def extract_submatrices(A: CSR, num_blocks: int) -> List[List[CSR]]:
+    """num_blocks × num_blocks grid of contiguous blocks (reference:
+    LocalMatrix::ExtractSubMatrices — BlockPreconditioner setup)."""
+    n = A.shape[0]
+    sizes = [n // num_blocks + (1 if i < n % num_blocks else 0)
+             for i in range(num_blocks)]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    return [
+        [
+            extract_submatrix(A, offs[i], offs[j], sizes[i], sizes[j])
+            for j in range(num_blocks)
+        ]
+        for i in range(num_blocks)
+    ]
+
+
+def scale_diagonal(A: CSR, alpha: float) -> CSR:
+    """A with diagonal scaled (reference: LocalMatrix::ScaleDiagonal)."""
+    r, c, v = _coo(A)
+    v = v.copy()
+    v[r == c] *= alpha
+    return CSR.from_coo(r, c, v, A.shape)

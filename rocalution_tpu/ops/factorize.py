@@ -1,0 +1,254 @@
+"""Incomplete factorizations (setup phase).
+
+Reference parity: LocalMatrix::ILU0Factorize / ICFactorize /
+ILUpFactorize(p) / ILUTFactorize(t, maxrow) (src/base/local_matrix.hpp
+factorization drivers; host kernels in host_matrix_csr.cpp and
+host_ilut_driver_csr.cpp — ILUT/ILUp are host-only in the reference too).
+
+TPU-native placement: factorization is sequential setup work — it runs once
+per matrix on the host (numpy), while the *apply* path (triangular solves)
+runs on-device via LevelSchedule scans or iterative sweeps (ops/trisolve).
+Returned factors are CSR pytrees ready for device residency.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..formats import CSR
+from ..formats.base import get_host
+
+
+def _host(A: CSR):
+    data = get_host(A, "data").copy()
+    cols = get_host(A, "indices").astype(np.int64)
+    indptr = get_host(A, "indptr").astype(np.int64)
+    return data, cols, indptr
+
+
+def _diag_ptrs(cols, indptr, n):
+    dp = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        rs, re = indptr[i], indptr[i + 1]
+        pos = np.searchsorted(cols[rs:re], i)
+        if pos >= re - rs or cols[rs + pos] != i:
+            raise ValueError(f"row {i} has no diagonal entry")
+        dp[i] = rs + pos
+    return dp
+
+
+def _split_lu(data, cols, indptr, n, unit_lower=True):
+    """Split a factorized in-place CSR into (L unit-lower incl diag=1,
+    U upper incl diag)."""
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    lower = cols < rows
+    upper = cols > rows
+    diag = cols == rows
+    ld = np.concatenate([data[lower], np.ones(n, data.dtype)])
+    lr = np.concatenate([rows[lower], np.arange(n)])
+    lc = np.concatenate([cols[lower], np.arange(n)])
+    L = CSR.from_coo(lr, lc, ld, (n, n))
+    ud = np.concatenate([data[upper], data[diag]])
+    ur = np.concatenate([rows[upper], rows[diag]])
+    uc = np.concatenate([cols[upper], cols[diag]])
+    U = CSR.from_coo(ur, uc, ud, (n, n))
+    return L, U
+
+
+def _ilu0_numeric(data, cols, indptr, n):
+    """In-place IKJ ILU(0) on a fixed pattern (columns sorted per row)."""
+    dp = _diag_ptrs(cols, indptr, n)
+    for i in range(n):
+        rs, re = indptr[i], indptr[i + 1]
+        ci = cols[rs:re]
+        for idx in range(rs, dp[i]):
+            k = cols[idx]
+            dk = data[dp[k]]
+            if dk == 0:
+                raise ZeroDivisionError(f"zero pivot at row {k}")
+            lik = data[idx] / dk
+            data[idx] = lik
+            krs, kre = dp[k] + 1, indptr[k + 1]
+            if krs < kre:
+                kcols = cols[krs:kre]
+                pos = np.searchsorted(ci, kcols)
+                valid = pos < (re - rs)
+                safe = np.minimum(pos, re - rs - 1)
+                valid &= ci[safe] == kcols
+                data[rs + pos[valid]] -= lik * data[krs:kre][valid]
+    return data
+
+
+def ilu0(A: CSR) -> Tuple[CSR, CSR]:
+    """ILU(0): incomplete LU on the sparsity pattern of A.
+
+    Returns (L, U) with L unit-lower (explicit 1s on the diagonal) and U
+    upper including the diagonal, so A ≈ L @ U (reference:
+    LocalMatrix::ILU0Factorize).
+    """
+    data, cols, indptr = _host(A)
+    n = A.shape[0]
+    data = _ilu0_numeric(data, cols, indptr, n)
+    return _split_lu(data, cols, indptr, n)
+
+
+def ic0(A: CSR) -> CSR:
+    """IC(0): incomplete Cholesky on the lower pattern of A.
+
+    Returns L (lower triangular incl diagonal) with A ≈ L @ L.T
+    (reference: LocalMatrix::ICFactorize).
+    """
+    data, cols, indptr = _host(A)
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    lsel = cols <= rows
+    lr, lc, lv = rows[lsel], cols[lsel], data[lsel]
+    lptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(lptr, lr + 1, 1)
+    lptr = np.cumsum(lptr)
+
+    for i in range(n):
+        rs, re = lptr[i], lptr[i + 1]
+        ci = lc[rs:re]
+        for idx in range(rs, re - 1):        # off-diagonal j < i
+            j = ci[idx - rs]
+            js, je = lptr[j], lptr[j + 1]
+            cj = lc[js:je - 1]               # row j cols < j
+            # dot over common pattern cols < j
+            ci_part = ci[: idx - rs]
+            pos = np.searchsorted(ci_part, cj)
+            valid = pos < len(ci_part)
+            safe = np.minimum(pos, max(len(ci_part) - 1, 0))
+            if len(ci_part):
+                valid &= ci_part[safe] == cj
+            else:
+                valid[:] = False
+            s = np.dot(lv[rs + pos[valid]], lv[js:je - 1][valid])
+            djj = lv[je - 1]
+            if djj == 0:
+                raise ZeroDivisionError(f"zero pivot at row {j}")
+            lv[idx] = (lv[idx] - s) / djj
+        s = np.dot(lv[rs:re - 1], lv[rs:re - 1])
+        val = lv[re - 1] - s
+        if val <= 0:
+            raise ValueError(f"IC(0) breakdown at row {i} (pivot {val})")
+        lv[re - 1] = np.sqrt(val)
+    return CSR.from_coo(lr, lc, lv, (n, n))
+
+
+def _symbolic_ilup(cols, indptr, n, p):
+    """Level-of-fill symbolic phase of ILU(p). Returns expanded pattern
+    (rows, cols) including fill-in of level <= p."""
+    out_rows, out_cols = [], []
+    upper = [None] * n  # per-row list of (col > i, level)
+    for i in range(n):
+        lev = {}
+        for c in cols[indptr[i]:indptr[i + 1]]:
+            lev[int(c)] = 0
+        ks = sorted(c for c in lev if c < i)
+        seen = set(ks)
+        while ks:
+            k = ks.pop(0)
+            lev_ik = lev[k]
+            if lev_ik > p:
+                continue
+            for j, lev_kj in upper[k]:
+                f = lev_ik + lev_kj + 1
+                if f <= p and (j not in lev or lev[j] > f):
+                    lev[j] = min(lev.get(j, f), f)
+                    if j < i and j not in seen:
+                        seen.add(j)
+                        # keep ks sorted ascending
+                        import bisect
+                        bisect.insort(ks, j)
+        cs = sorted(lev)
+        out_rows.extend([i] * len(cs))
+        out_cols.extend(cs)
+        upper[i] = [(j, lev[j]) for j in cs if j > i]
+    return np.asarray(out_rows, np.int64), np.asarray(out_cols, np.int64)
+
+
+def ilup(A: CSR, p: int = 1) -> Tuple[CSR, CSR]:
+    """ILU(p): level-of-fill incomplete LU (reference:
+    LocalMatrix::ILUpFactorize, power(q)-pattern variant in
+    MultiColoredILU). Returns (L, U) like ilu0."""
+    if p == 0:
+        return ilu0(A)
+    data, cols, indptr = _host(A)
+    n = A.shape[0]
+    frows, fcols = _symbolic_ilup(cols, indptr, n, p)
+    # scatter A values onto the expanded pattern
+    fptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(fptr, frows + 1, 1)
+    fptr = np.cumsum(fptr)
+    fdata = np.zeros(len(frows), dtype=data.dtype)
+    # scatter A's values into the expanded pattern row by row
+    for i in range(n):
+        ars, are = indptr[i], indptr[i + 1]
+        frs, fre = fptr[i], fptr[i + 1]
+        idx = np.searchsorted(fcols[frs:fre], cols[ars:are])
+        fdata[frs + idx] = data[ars:are]
+    fdata = _ilu0_numeric(fdata, fcols, fptr, n)
+    return _split_lu(fdata, fcols, fptr, n)
+
+
+def ilut(A: CSR, tol: float = 1e-3, max_fill: int = 32) -> Tuple[CSR, CSR]:
+    """ILUT(t, m): threshold + max-fill incomplete LU (reference:
+    LocalMatrix::ILUTFactorize, host_ilut_driver_csr.cpp). Returns (L, U)
+    like ilu0."""
+    data, cols, indptr = _host(A)
+    n = A.shape[0]
+    U_rows = [None] * n   # (cols >= k asc, vals); diag first position
+    L_out_r, L_out_c, L_out_v = [], [], []
+
+    for i in range(n):
+        rs, re = indptr[i], indptr[i + 1]
+        w = dict(zip(cols[rs:re].tolist(), data[rs:re].tolist()))
+        row_norm = float(np.linalg.norm(data[rs:re])) or 1.0
+        drop = tol * row_norm
+        ks = sorted(c for c in w if c < i)
+        import bisect
+        seen = set(ks)
+        while ks:
+            k = ks.pop(0)
+            ucols, uvals = U_rows[k]
+            lik = w[k] / uvals[0]          # U diag first
+            if abs(lik) < drop:
+                del w[k]
+                continue
+            w[k] = lik
+            for c, v in zip(ucols[1:], uvals[1:]):
+                nv = w.get(c, 0.0) - lik * v
+                w[c] = nv
+                if c < i and c not in seen:
+                    seen.add(c)
+                    bisect.insort(ks, c)
+        if i not in w:
+            raise ZeroDivisionError(f"ILUT lost the diagonal at row {i}")
+        lw = [(c, v) for c, v in w.items() if c < i and abs(v) >= drop]
+        uw = [(c, v) for c, v in w.items() if c > i and abs(v) >= drop]
+        lw.sort(key=lambda cv: -abs(cv[1]))
+        uw.sort(key=lambda cv: -abs(cv[1]))
+        lw = sorted(lw[:max_fill])
+        uw = sorted(uw[:max_fill])
+        dval = w[i]
+        if dval == 0:
+            raise ZeroDivisionError(f"ILUT zero pivot at row {i}")
+        for c, v in lw:
+            L_out_r.append(i); L_out_c.append(c); L_out_v.append(v)
+        U_rows[i] = (
+            np.asarray([i] + [c for c, _ in uw], np.int64),
+            np.asarray([dval] + [v for _, v in uw], data.dtype),
+        )
+
+    # assemble L (unit diag) and U
+    L_out_r.extend(range(n)); L_out_c.extend(range(n))
+    L_out_v.extend([1.0] * n)
+    L = CSR.from_coo(L_out_r, L_out_c, np.asarray(L_out_v, data.dtype), (n, n))
+    ur = np.concatenate([np.full(len(U_rows[i][0]), i) for i in range(n)])
+    uc = np.concatenate([U_rows[i][0] for i in range(n)])
+    uv = np.concatenate([U_rows[i][1] for i in range(n)])
+    U = CSR.from_coo(ur, uc, uv, (n, n))
+    return L, U

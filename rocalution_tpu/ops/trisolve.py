@@ -1,0 +1,187 @@
+"""Triangular solves, TPU-native.
+
+Reference parity: LocalMatrix::{L,U,LL,LU}Solve + LAnalyse/UAnalyse
+(level-scheduling, base_matrix.hpp:343-351 "Analyse the structure") and the
+iterative variants ItLSolve/ItUSolve/csritsv (the reference's own answer to
+sequential tri-solves on wide hardware).
+
+TPU-native design: the *analysis* (Kahn topological layering of the
+row-dependency DAG) runs vectorized on the host once per factorization and
+produces a `LevelSchedule` — a rectangular, padded per-level structure. The
+*solve* is then a single `lax.scan` over levels: one gather, one
+segment-sum, one scatter per level — no data-dependent shapes, no host
+round-trips, identical code for lower and upper factors. The iterative
+variant (`trisolve_jacobi`) trades exactness for zero levels: fixed
+Jacobi-Richardson sweeps on the triangular system, matching the semantics of
+the reference's ItILU0/csritsv family.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import CSR
+from ..formats.base import get_host
+
+
+class LevelSchedule(NamedTuple):
+    """Padded level structure for solving T x = b where T is triangular.
+
+    All arrays are stacked per level (axis 0 = level):
+      rows      (nlev, W)  row solved in each level slot; pad = n
+      nz_slot   (nlev, NW) level-local slot of each off-diag nonzero; pad = W
+      nz_col    (nlev, NW) column of each off-diag nonzero; pad = n
+      nz_val    (nlev, NW) value of each off-diag nonzero; pad = 0
+      inv_diag  (nlev, W)  1/diagonal of each row; pad = 0
+    """
+
+    rows: jnp.ndarray
+    nz_slot: jnp.ndarray
+    nz_col: jnp.ndarray
+    nz_val: jnp.ndarray
+    inv_diag: jnp.ndarray
+
+
+def build_schedule(T: CSR, unit_diag: bool = False) -> LevelSchedule:
+    """Analyse a triangular CSR matrix into a LevelSchedule (host-side,
+    vectorized Kahn layering; analog LocalMatrix::LAnalyse/UAnalyse)."""
+    import scipy.sparse as sp
+
+    data = get_host(T, "data")
+    cols = get_host(T, "indices").astype(np.int64)
+    rows = get_host(T, "row_ids").astype(np.int64)
+    n = T.shape[0]
+
+    off = cols != rows
+    is_diag = ~off
+    diag = np.ones(n, dtype=data.dtype)
+    if not unit_diag:
+        diag_vals = np.zeros(n, dtype=data.dtype)
+        np.add.at(diag_vals, rows[is_diag], data[is_diag])
+        if np.any(diag_vals == 0):
+            raise ValueError("triangular matrix has zero diagonal")
+        diag = diag_vals
+    inv_diag_full = 1.0 / diag
+
+    orow, ocol, oval = rows[off], cols[off], data[off]
+    # Kahn layering on the dependency DAG row <- col
+    ndeps = np.zeros(n, dtype=np.int64)
+    np.add.at(ndeps, orow, 1)
+    # reverse adjacency: for node j, which rows depend on it
+    radj = sp.csr_matrix(
+        (np.ones(len(orow), np.int8), (ocol, orow)), shape=(n, n)
+    )
+    level = np.full(n, -1, dtype=np.int64)
+    frontier = np.where(ndeps == 0)[0]
+    lev = 0
+    while len(frontier):
+        level[frontier] = lev
+        dep_rows = radj[frontier].indices
+        if len(dep_rows):
+            np.subtract.at(ndeps, dep_rows, 1)
+        ndeps[frontier] = -1
+        frontier = np.where(ndeps == 0)[0]
+        lev += 1
+    if (level < 0).any():
+        raise ValueError("matrix is not triangular (dependency cycle)")
+    nlev = lev
+
+    order = np.argsort(level, kind="stable")
+    lvl_sizes = np.bincount(level, minlength=nlev)
+    W = int(lvl_sizes.max()) if nlev else 0
+    starts = np.concatenate([[0], np.cumsum(lvl_sizes)])
+
+    rows_pad = np.full((nlev, W), n, dtype=np.int32)
+    invd_pad = np.zeros((nlev, W), dtype=data.dtype)
+    slot_of_row = np.zeros(n, dtype=np.int64)
+    lev_sorted = level[order]
+    slot_sorted = np.arange(n) - starts[lev_sorted]
+    rows_pad[lev_sorted, slot_sorted] = order
+    invd_pad[lev_sorted, slot_sorted] = inv_diag_full[order]
+    slot_of_row[order] = slot_sorted
+
+    # off-diagonal nonzeros grouped by level of their row
+    nz_lev = level[orow]
+    nz_order = np.argsort(nz_lev, kind="stable")
+    nz_sizes = np.bincount(nz_lev, minlength=nlev)
+    NW = max(int(nz_sizes.max()) if nlev else 0, 1)
+    nz_starts = np.concatenate([[0], np.cumsum(nz_sizes)])
+    slot_pad = np.full((nlev, NW), W, dtype=np.int32)
+    col_pad = np.full((nlev, NW), n, dtype=np.int32)
+    val_pad = np.zeros((nlev, NW), dtype=data.dtype)
+    nzlev_sorted = nz_lev[nz_order]
+    nzslot_sorted = np.arange(len(nz_order)) - nz_starts[nzlev_sorted]
+    slot_pad[nzlev_sorted, nzslot_sorted] = slot_of_row[orow[nz_order]]
+    col_pad[nzlev_sorted, nzslot_sorted] = ocol[nz_order]
+    val_pad[nzlev_sorted, nzslot_sorted] = oval[nz_order]
+
+    return LevelSchedule(
+        rows=jnp.asarray(rows_pad),
+        nz_slot=jnp.asarray(slot_pad),
+        nz_col=jnp.asarray(col_pad),
+        nz_val=jnp.asarray(val_pad),
+        inv_diag=jnp.asarray(invd_pad),
+    )
+
+
+def solve_schedule(sched: LevelSchedule, b):
+    """Solve T x = b given the analysis (device-side lax.scan over levels)."""
+    n = b.shape[0]
+    W = sched.rows.shape[1]
+    pad_shape = (1,) + b.shape[1:]
+    x = jnp.concatenate([jnp.zeros_like(b), jnp.zeros(pad_shape, b.dtype)], 0)
+    b_pad = jnp.concatenate([b, jnp.zeros(pad_shape, b.dtype)], 0)
+
+    def step(x, level):
+        rows, nz_slot, nz_col, nz_val, invd = level
+        prod = x[nz_col] * (
+            nz_val if x.ndim == 1 else nz_val[:, None]
+        )
+        s = jax.ops.segment_sum(prod, nz_slot, num_segments=W + 1)[:W]
+        newx = (b_pad[rows] - s) * (invd if x.ndim == 1 else invd[:, None])
+        x = x.at[rows].set(newx)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, sched)
+    return x[:n]
+
+
+def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
+    """Approximate triangular solve by fixed Jacobi-Richardson sweeps
+    (reference: ItLSolve/ItUSolve/csritsv semantics — the iterative
+    tri-solve the reference itself prefers on wide hardware).
+
+    x_{k+1} = D^{-1}(b - N x_k) with N the off-diagonal part; exact after
+    `nlevels` sweeps, good after far fewer for diagonally-dominant factors.
+    """
+    from ..precond.jacobi import extract_diagonal
+    from .spmv import spmv
+
+    if unit_diag:
+        inv_d = jnp.ones((T.shape[0],), b.dtype)
+    else:
+        d = extract_diagonal(T)
+        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+    is_off = T.row_ids != T.indices
+    N = CSR(
+        data=jnp.where(is_off, T.data, 0.0),
+        indices=T.indices,
+        indptr=T.indptr,
+        row_ids=T.row_ids,
+        shape=T.shape,
+    )
+
+    def expand(v):
+        return v if b.ndim == 1 else v[:, None]
+
+    x = expand(inv_d) * b
+
+    def body(_, x):
+        return expand(inv_d) * (b - spmv(N, x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
