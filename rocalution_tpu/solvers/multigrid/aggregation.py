@@ -1,0 +1,257 @@
+"""Aggregation-based AMG: smoothed (SA), unsmoothed (UA), pairwise.
+
+Reference parity:
+- SAAMG (smoothed_amg.{hpp,cpp}): AMGConnect (coupling strength) →
+  AMGGreedyAggregate | AMGPMISAggregate → AMGSmoothedAggregation
+  P = (I - ω D^{-1} A_f) P̂, SetCouplingStrength/SetInterpRelax/
+  SetCoarseningStrategy/SetLumpingStrategy (smoothed_amg.hpp:61-72).
+- UAAMG (unsmoothed_amg.{hpp,cpp}): binary P̂ + SetOverInterp scaling.
+- PairwiseAMG (pairwise_amg.{hpp,cpp}): Notay pairwise matching with
+  SetBeta/SetCoarseningFactor (pairwise_amg.hpp:83-97).
+
+All of this is setup-phase graph work → host numpy/scipy (vectorized Luby
+rounds for PMIS, same parallel-heuristic family as the reference's device
+aggregation kernels, hip_matrix_csr SA/UA aggregation); the produced
+hierarchy is static-shape device data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ...formats import CSR
+from ...formats.base import get_host
+
+
+def _scipy(A: CSR):
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (get_host(A, "data"), get_host(A, "indices").astype(np.int64),
+         get_host(A, "indptr").astype(np.int64)), shape=A.shape,
+    )
+
+
+def strength_connect(S, eps: float = 0.08):
+    """Symmetric SA strength graph: |a_ij| >= eps sqrt(|a_ii a_jj|)
+    (reference: LocalMatrix::AMGConnect with coupling strength)."""
+    import scipy.sparse as sp
+
+    d = np.abs(S.diagonal())
+    C = S.tocoo()
+    keep = (C.row != C.col) & (
+        np.abs(C.data) >= eps * np.sqrt(d[C.row] * d[C.col])
+    )
+    return sp.csr_matrix(
+        (np.ones(keep.sum(), np.int8), (C.row[keep], C.col[keep])),
+        shape=S.shape,
+    )
+
+
+def greedy_aggregate(C) -> np.ndarray:
+    """Vaněk greedy aggregation (reference: AMGGreedyAggregate).
+
+    Pass 1: nodes whose strong neighborhood is fully unaggregated seed an
+    aggregate with it; pass 2: leftovers join an adjacent aggregate;
+    pass 3: remaining leftovers seed their own aggregates.
+    Returns agg[i] in [0, n_agg) (isolated nodes get singletons).
+    """
+    n = C.shape[0]
+    agg = np.full(n, -1, np.int64)
+    na = 0
+    indptr, indices = C.indptr, C.indices
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbr = indices[indptr[i]:indptr[i + 1]]
+        if len(nbr) and np.all(agg[nbr] == -1):
+            agg[i] = na
+            agg[nbr] = na
+            na += 1
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbr = indices[indptr[i]:indptr[i + 1]]
+        assigned = nbr[agg[nbr] != -1]
+        if len(assigned):
+            agg[i] = agg[assigned[0]]
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = na
+            na += 1
+    return agg
+
+
+def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
+    """PMIS-style aggregation: Luby-selected distance-2 independent roots,
+    neighbors join their root, leftovers attach greedily (reference:
+    AMGPMISAggregate — the device-parallel strategy)."""
+    n = C.shape[0]
+    rng = np.random.default_rng(seed)
+    w = rng.permutation(n).astype(np.float64)
+    C2 = (C + C @ C).tocsr()          # distance-2 adjacency
+    agg = np.full(n, -1, np.int64)
+    candidate = np.ones(n, bool)
+    roots = []
+    while candidate.any():
+        wa = np.where(candidate, w, -np.inf)
+        nbr_max = np.full(n, -np.inf)
+        ne = np.diff(C2.indptr) > 0
+        if C2.nnz:
+            red = np.maximum.reduceat(wa[C2.indices], C2.indptr[:-1][ne])
+            nbr_max[ne] = red
+        sel = candidate & (w > nbr_max)
+        idx = np.where(sel)[0]
+        if not len(idx):
+            break
+        roots.extend(idx.tolist())
+        candidate[idx] = False
+        knocked = np.zeros(n, bool)
+        knocked[C2[idx].indices] = True
+        candidate &= ~knocked
+    for a, r in enumerate(roots):
+        agg[r] = a
+    # neighbors of roots join the root's aggregate
+    for a, r in enumerate(roots):
+        nbr = C.indices[C.indptr[r]:C.indptr[r + 1]]
+        free = nbr[agg[nbr] == -1]
+        agg[free] = a
+    # leftovers: join any adjacent aggregate, else singleton
+    na = len(roots)
+    for _ in range(3):
+        left = np.where(agg == -1)[0]
+        if not len(left):
+            break
+        for i in left:
+            nbr = C.indices[C.indptr[i]:C.indptr[i + 1]]
+            assigned = nbr[agg[nbr] != -1]
+            if len(assigned):
+                agg[i] = agg[assigned[0]]
+    for i in np.where(agg == -1)[0]:
+        agg[i] = na
+        na += 1
+    return agg
+
+
+def tentative_prolongation(agg: np.ndarray, n_agg: int, dtype):
+    import scipy.sparse as sp
+
+    n = len(agg)
+    return sp.csr_matrix(
+        (np.ones(n, dtype), (np.arange(n), agg)), shape=(n, n_agg)
+    )
+
+
+def sa_level(A: CSR, *, eps: float = 0.08, omega: float = 2.0 / 3.0,
+             strategy: str = "greedy", lumping: bool = True,
+             seed: int = 0) -> Tuple[CSR, CSR, CSR]:
+    """One smoothed-aggregation coarsening step: returns (P, R, Ac)
+    (reference: SAAMG::Aggregate_ — AMGSmoothedAggregation)."""
+    import scipy.sparse as sp
+
+    S = _scipy(A)
+    C = strength_connect(S, eps)
+    agg = (greedy_aggregate if strategy == "greedy" else
+           lambda c: pmis_aggregate(c, seed))(C)
+    n_agg = int(agg.max()) + 1
+    Ph = tentative_prolongation(agg, n_agg, S.dtype)
+
+    # filtered operator: strong off-diagonal entries + (lumped) diagonal
+    Acoo = S.tocoo()
+    offd = Acoo.row != Acoo.col
+    strong = np.asarray(C[Acoo.row, Acoo.col]).ravel() > 0
+    keep = ~offd | strong
+    Af = sp.csr_matrix(
+        (Acoo.data[keep], (Acoo.row[keep], Acoo.col[keep])), shape=S.shape
+    )
+    if lumping:
+        dropped = sp.csr_matrix(
+            (Acoo.data[~keep], (Acoo.row[~keep], Acoo.col[~keep])),
+            shape=S.shape,
+        )
+        lump = np.asarray(dropped.sum(axis=1)).ravel()
+        Af = Af + sp.diags(lump)
+
+    d = Af.diagonal()
+    inv_d = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+    P = (sp.eye(S.shape[0], format="csr")
+         - omega * sp.diags(inv_d) @ Af) @ Ph
+    R = P.T.tocsr()
+    Ac = (R @ S @ P).tocsr()
+    return _to_csr(P), _to_csr(R), _to_csr(Ac)
+
+
+def ua_level(A: CSR, *, eps: float = 0.08, over_interp: float = 1.0,
+             strategy: str = "greedy", seed: int = 0):
+    """One unsmoothed-aggregation step (reference: UAAMG::Aggregate_ with
+    SetOverInterp — coarse operator scaled by 1/over_interp)."""
+    S = _scipy(A)
+    C = strength_connect(S, eps)
+    agg = (greedy_aggregate if strategy == "greedy" else
+           lambda c: pmis_aggregate(c, seed))(C)
+    n_agg = int(agg.max()) + 1
+    P = tentative_prolongation(agg, n_agg, S.dtype).tocsr()
+    R = P.T.tocsr()
+    Ac = (R @ S @ P).tocsr()
+    if over_interp != 1.0:
+        Ac = Ac * (1.0 / over_interp)
+    return _to_csr(P), _to_csr(R), _to_csr(Ac)
+
+
+def pairwise_level(A: CSR, *, beta: float = 0.25, npass: int = 2,
+                   seed: int = 0):
+    """Notay pairwise aggregation: `npass` rounds of greedy strongest-
+    negative-coupling matching (reference: PairwiseAMG, SetBeta /
+    SetCoarseningFactor ~ 2^npass)."""
+    import scipy.sparse as sp
+
+    S = _scipy(A)
+    n = S.shape[0]
+    agg = np.arange(n)
+    cur = S
+    for _ in range(npass):
+        m = cur.shape[0]
+        pair = np.full(m, -1, np.int64)
+        na = 0
+        indptr, indices, data = cur.indptr, cur.indices, cur.data
+        # match each unpaired node with its strongest negative neighbor
+        neg_min = np.zeros(m)
+        for i in range(m):
+            sl = slice(indptr[i], indptr[i + 1])
+            offs = indices[sl] != i
+            if offs.any():
+                neg_min[i] = data[sl][offs].min()
+        order = np.argsort(np.diff(indptr))   # fewest neighbors first
+        new_id = np.full(m, -1, np.int64)
+        for i in order:
+            if new_id[i] != -1:
+                continue
+            sl = slice(indptr[i], indptr[i + 1])
+            cols, vals = indices[sl], data[sl]
+            mask = (cols != i) & (new_id[cols] == -1) & (
+                vals <= beta * neg_min[i]
+            ) & (vals < 0)
+            if mask.any():
+                j = cols[mask][np.argmin(vals[mask])]
+                new_id[i] = na
+                new_id[j] = na
+            else:
+                new_id[i] = na
+            na += 1
+        agg = new_id[agg]
+        Pl = sp.csr_matrix(
+            (np.ones(m, S.dtype), (np.arange(m), new_id)), shape=(m, na)
+        )
+        cur = (Pl.T @ cur @ Pl).tocsr()
+    n_agg = int(agg.max()) + 1
+    P = tentative_prolongation(agg, n_agg, S.dtype).tocsr()
+    R = P.T.tocsr()
+    Ac = (R @ S @ P).tocsr()
+    return _to_csr(P), _to_csr(R), _to_csr(Ac)
+
+
+def _to_csr(S) -> CSR:
+    C = S.tocoo()
+    return CSR.from_coo(C.row, C.col, C.data, C.shape)

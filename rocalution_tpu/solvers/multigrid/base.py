@@ -1,0 +1,186 @@
+"""Multigrid cycle machinery.
+
+Reference parity: BaseMultiGrid (src/solvers/multigrid/base_multigrid.{hpp,
+cpp}) — V/W/F/K cycles (`_cycle` enum base_multigrid.hpp:34, Vcycle_
+base_multigrid.cpp:720-916: pre-smooth, restrict, recurse, prolong+correct,
+post-smooth), smoother/coarse-solver slots, and MultiGrid (multigrid.{hpp,
+cpp}) — the geometric variant with a user-supplied hierarchy
+(SetOperatorHierarchy/SetRestrictOperator/SetProlongOperator).
+
+TPU-native design: a hierarchy has static shapes once built, so the ENTIRE
+cycle — every level's smoothing, restriction, prolongation, and the coarse
+dense solve — composes into one jittable closure (Python recursion unrolls
+at trace time). Used as a preconditioner it rides inside the Krylov
+`lax.while_loop`; as a standalone solver it is a FixedPoint iteration with
+the cycle as M (exactly the reference's MG solve structure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...formats import CSR
+from ...ops.spmv import spmv
+from ...precond.jacobi import extract_diagonal
+from ..direct import qr_factor
+from ..fixed_point import fixed_point
+from ..iter_ctrl import IterationControl
+
+
+@dataclasses.dataclass(frozen=True)
+class MGLevel:
+    """One grid level: operator + transfer ops + smoother closure."""
+
+    A: object                       # operator (format pytree)
+    P: Optional[object]             # prolongation (None on coarsest)
+    R: Optional[object]             # restriction (None on coarsest)
+    smooth: Optional[Callable]      # (b, x, sweeps) -> x
+
+
+@dataclasses.dataclass(frozen=True)
+class Hierarchy:
+    levels: List[MGLevel]
+    coarse_solve: Callable          # (b,) -> x on the coarsest level
+    pre_sweeps: int = 1
+    post_sweeps: int = 2
+    cycle: str = "V"                # V | W | F | K
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def operator_sizes(self):
+        return [lv.A.shape[0] for lv in self.levels]
+
+
+def jacobi_smoother(A, omega: float = 2.0 / 3.0) -> Callable:
+    """Default smoother: damped-Jacobi FixedPoint sweeps (reference:
+    BaseAMG::BuildSmoothers default FixedPoint+Jacobi, base_amg.cpp)."""
+    d = extract_diagonal(A)
+    inv_d = jnp.where(d != 0, omega / jnp.where(d == 0, 1.0, d), omega)
+
+    def smooth(b, x, sweeps):
+        for _ in range(sweeps):
+            x = x + inv_d * (b - spmv(A, x))
+        return x
+
+    return smooth
+
+
+def precond_smoother(A, M: Callable, omega: float = 1.0) -> Callable:
+    """Smoother from any preconditioner closure (reference: manual smoothers
+    via SetSmoother — e.g. multicolored GS)."""
+
+    def smooth(b, x, sweeps):
+        for _ in range(sweeps):
+            x = x + omega * M(b - spmv(A, x))
+        return x
+
+    return smooth
+
+
+def build_hierarchy(
+    ops: Sequence,
+    prolongs: Sequence,
+    restricts: Optional[Sequence] = None,
+    *,
+    smoother: Optional[Callable] = None,
+    coarse_solve: Optional[Callable] = None,
+    pre_sweeps: int = 1,
+    post_sweeps: int = 2,
+    cycle: str = "V",
+) -> Hierarchy:
+    """Assemble a Hierarchy from operator + transfer lists (the geometric-MG
+    entry point; AMG builders call this too). `smoother(A) -> closure`
+    defaults to damped Jacobi; `coarse_solve` defaults to dense QR."""
+    if restricts is None:
+        restricts = [P.transpose_host() for P in prolongs]
+    mk_smooth = smoother or jacobi_smoother
+    levels = []
+    for i, A in enumerate(ops):
+        last = i == len(ops) - 1
+        levels.append(MGLevel(
+            A=A,
+            P=None if last else prolongs[i],
+            R=None if last else restricts[i],
+            smooth=None if last else mk_smooth(A),
+        ))
+    if coarse_solve is None:
+        coarse_solve = qr_factor(ops[-1])
+    return Hierarchy(levels, coarse_solve, pre_sweeps, post_sweeps, cycle)
+
+
+def cycle_closure(h: Hierarchy) -> Callable:
+    """The multigrid cycle as a preconditioner closure r -> e ≈ A^{-1} r.
+
+    Python recursion unrolls the whole cycle into one XLA program
+    (reference: Vcycle_/Wcycle_/Fcycle_/Kcycle_, base_multigrid.cpp:720-981).
+    """
+    cyc = h.cycle.upper()
+
+    def level_apply(l: int, b, mode: str):
+        lv = h.levels[l]
+        if lv.P is None:
+            return h.coarse_solve(b)
+        x = lv.smooth(b, jnp.zeros_like(b), h.pre_sweeps)
+        res = spmv(lv.R, b - spmv(lv.A, x))
+        Ac = h.levels[l + 1].A
+        if l + 2 == h.num_levels or mode == "V":
+            e = level_apply(l + 1, res, "V" if mode == "F" else mode)
+        elif mode == "W":
+            e = level_apply(l + 1, res, "W")
+            e = e + level_apply(l + 1, res - spmv(Ac, e), "W")
+        elif mode == "F":
+            # F-cycle: one F recursion then one V recursion
+            e = level_apply(l + 1, res, "F")
+            e = e + level_apply(l + 1, res - spmv(Ac, e), "V")
+        elif mode == "K":
+            # K-cycle: two FCG steps on the coarse system, preconditioned
+            # by the deeper cycle (Notay; reference SetKcycleFull)
+            e = _fcg_steps(Ac, res, lambda r: level_apply(l + 1, r, "K"), 2)
+        else:
+            raise ValueError(f"unknown cycle {mode!r}")
+        x = x + spmv(lv.P, e)
+        return lv.smooth(b, x, h.post_sweeps)
+
+    return lambda r: level_apply(0, r, cyc)
+
+
+def _fcg_steps(A, b, M: Callable, steps: int):
+    """Fixed-step flexible CG (no convergence checks) — K-cycle smoother."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = None
+    z_prev = None
+    r_prev = None
+    for _ in range(steps):
+        z = M(r)
+        if p is None:
+            p = z
+            rho = jnp.sum(r * z)
+        else:
+            rho_new = jnp.sum(r * z)
+            beta = (rho_new - jnp.sum(z * r_prev)) / rho
+            p = z + beta * p
+            rho = rho_new
+        q = spmv(A, p)
+        denom = jnp.sum(p * q)
+        alpha = jnp.where(denom == 0, 0.0, rho / jnp.where(denom == 0, 1.0, denom))
+        x = x + alpha * p
+        r_prev = r
+        r = r - alpha * q
+    return x
+
+
+def mg_solve(h: Hierarchy, b, x0=None, *,
+             ctrl: Optional[IterationControl] = None, **kwargs):
+    """Standalone multigrid solve: FixedPoint iteration with the cycle as
+    preconditioner (reference: BaseMultiGrid::Solve cycling until
+    tolerance). Returns (x, SolverInfo)."""
+    M = cycle_closure(h)
+    return fixed_point(h.levels[0].A, b, x0, M,
+                       omega=1.0, ctrl=ctrl, **kwargs)

@@ -1,0 +1,148 @@
+"""AMG / multigrid tests — hierarchy construction invariants (Galerkin
+exactness, coarsening progress) plus the reference's convergence oracle
+(cg-amg/cg-rsamg/cg-saamg samples: CG or FGMRES with one AMG cycle as
+preconditioner converges in few, size-independent iterations)."""
+
+import numpy as np
+import pytest
+
+import rocalution_tpu as rt
+from rocalution_tpu.ops import spgemm
+from rocalution_tpu.solvers.multigrid import (amg_hierarchy, amg_precond,
+                                              build_hierarchy, cycle_closure,
+                                              mg_solve, pairwise_amg, rsamg,
+                                              saamg, uaamg)
+
+KINDS = ["sa", "ua", "rs", "pairwise"]
+
+
+@pytest.fixture(scope="module")
+def A():
+    return rt.laplacian_2d(24)  # 576 unknowns -> 2+ levels
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_hierarchy_builds_and_coarsens(kind, A):
+    h = amg_hierarchy(A, kind, coarse_size=60)
+    sizes = h.operator_sizes()
+    assert len(sizes) >= 2, sizes
+    assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1)), sizes
+    assert sizes[-1] <= 200
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_galerkin_consistency(kind, A):
+    h = amg_hierarchy(A, kind, coarse_size=60)
+    lv = h.levels[0]
+    Ac = h.levels[1].A
+    ref = spgemm.triple_product(lv.R, lv.A, lv.P)
+    np.testing.assert_allclose(
+        np.asarray(Ac.to_dense()), np.asarray(ref.to_dense()), atol=1e-10
+    )
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("cycle", ["V", "W", "F", "K"])
+def test_amg_preconditioned_solve(kind, cycle, A, rng):
+    x_true = rng.standard_normal(A.shape[0])
+    b = np.asarray(rt.spmv(A, x_true))
+    M = amg_precond(A, kind, coarse_size=60, cycle=cycle)
+    x, info = rt.fgmres(A, b, M=M, rel_tol=1e-10, max_iter=200)
+    assert bool(info.converged), f"{kind}/{cycle}: {int(info.status)}"
+    err = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-6, f"{kind}/{cycle}: {err}"
+    assert int(info.iterations) <= 60, f"{kind}/{cycle}: {int(info.iterations)}"
+
+
+def test_amg_standalone_solver(A, rng):
+    x_true = rng.standard_normal(A.shape[0])
+    b = np.asarray(rt.spmv(A, x_true))
+    h = saamg(A, coarse_size=60)
+    x, info = mg_solve(h, b, rel_tol=1e-8, max_iter=100)
+    assert bool(info.converged)
+    err = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-5
+
+
+def test_amg_scalability_iterations(rng):
+    """AMG's point: iteration counts stay ~flat as the problem grows."""
+    iters = []
+    for n in (16, 32):
+        A = rt.laplacian_2d(n)
+        x_true = rng.standard_normal(A.shape[0])
+        b = np.asarray(rt.spmv(A, x_true))
+        M = amg_precond(A, "sa", coarse_size=60)
+        _, info = rt.cg(A, b, M=M, rel_tol=1e-8, max_iter=300)
+        assert int(info.status) in (1, 2)
+        iters.append(int(info.iterations))
+    assert iters[1] <= 2 * iters[0] + 5, iters
+
+
+def test_geometric_multigrid(rng):
+    """User-supplied hierarchy (reference: MultiGrid solver with
+    SetOperatorHierarchy) — coarsen the unit-square Laplacian geometrically
+    by full-weighting between nested grids."""
+    import scipy.sparse as sp
+
+    def lap1d(m):
+        return sp.diags([-np.ones(m - 1), 2 * np.ones(m), -np.ones(m - 1)],
+                        [-1, 0, 1])
+
+    def lap2d(m):
+        I = sp.eye(m)
+        L = lap1d(m)
+        return (sp.kron(I, L) + sp.kron(L, I)).tocsr()
+
+    def interp1d(m):  # linear interpolation (2m+1 fine <- m coarse)
+        mf = 2 * m + 1
+        P = sp.lil_matrix((mf, m))
+        for j in range(m):
+            P[2 * j, j] += 0.5
+            P[2 * j + 1, j] = 1.0
+            P[2 * j + 2, j] += 0.5
+        return P.tocsr()
+
+    sizes = [31, 15, 7]
+    ops = [lap2d(sizes[0])]
+    Ps, Rs = [], []
+    for mc in sizes[1:]:
+        P1 = interp1d(mc)
+        P = sp.kron(P1, P1).tocsr()
+        R = (0.25 * P.T).tocsr()      # full weighting
+        ops.append((R @ ops[-1] @ P).tocsr())   # Galerkin coarse operators
+        Ps.append(P)
+        Rs.append(R)
+    ops_csr = [spgemm.from_scipy(o) for o in ops]
+    Ps_csr = [spgemm.from_scipy(p) for p in Ps]
+    Rs_csr = [spgemm.from_scipy(r) for r in Rs]
+    h = build_hierarchy(ops_csr, Ps_csr, Rs_csr)
+    x_true = rng.standard_normal(ops[0].shape[0])
+    b = np.asarray(ops[0] @ x_true)
+    x, info = mg_solve(h, b, rel_tol=1e-8, max_iter=100)
+    assert bool(info.converged), int(info.status)
+    assert int(info.iterations) <= 25
+    err = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-5
+
+
+def test_spgemm_ops(A, rng):
+    B = rt.laplacian_2d(24)
+    C = spgemm.spgemm(A, B)
+    ref = np.asarray(A.to_dense()) @ np.asarray(B.to_dense())
+    np.testing.assert_allclose(np.asarray(C.to_dense()), ref, atol=1e-10)
+    D = spgemm.spgeam(A, B, 2.0, -1.0)
+    np.testing.assert_allclose(
+        np.asarray(D.to_dense()),
+        2 * np.asarray(A.to_dense()) - np.asarray(B.to_dense()), atol=1e-12)
+
+
+def test_spgemm_numeric_update(rng):
+    A = rt.utils.generators.random_spd(40, density=0.1, seed=2)
+    B = rt.utils.generators.random_spd(40, density=0.1, seed=3)
+    C, numeric = spgemm.spgemm_plan(A, B)
+    vals = np.asarray(numeric(A.data, B.data))
+    ref = spgemm.spgemm(A, B)
+    Cd = rt.CSR(data=vals, indices=C.indices, indptr=C.indptr,
+                row_ids=C.row_ids, shape=C.shape)
+    np.testing.assert_allclose(
+        np.asarray(Cd.to_dense()), np.asarray(ref.to_dense()), atol=1e-10)
