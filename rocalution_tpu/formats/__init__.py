@@ -11,8 +11,10 @@ from .dia import DIA
 from .ell import ELL
 from .hyb import HYB
 from .mcsr import MCSR
+from .stencil import Stencil, laplace2d_stencil, laplace3d_stencil
 
 __all__ = [
     "MatrixBase", "CSR", "COO", "ELL", "DIA", "HYB", "BCSR", "MCSR", "DENSE",
-    "convert", "to_csr", "FORMATS",
+    "Stencil", "convert", "laplace2d_stencil", "laplace3d_stencil", "to_csr",
+    "FORMATS",
 ]

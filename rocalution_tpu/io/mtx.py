@@ -28,17 +28,32 @@ def read_mtx(path: str, dtype=np.float64) -> CSR:
         while line.startswith("%"):
             line = f.readline()
         nrow, ncol, nnz = (int(t) for t in line.split())
-        body = np.loadtxt(f, ndmin=2) if nnz > 0 else np.zeros((0, 3))
-    if body.shape[0] != nnz:
-        raise ValueError(f"{path}: expected {nnz} entries, got {body.shape[0]}")
-    rows = body[:, 0].astype(np.int64) - 1
-    cols = body[:, 1].astype(np.int64) - 1
+        body_offset = f.tell()
+        from .. import native
+
+        ncl = 2 if field == "pattern" else (4 if field == "complex" else 3)
+        if native.available() and nnz > 0:
+            # native C parser (reference: host_io.cpp read_matrix_mtx)
+            rows, cols, re_v, im_v = native.mtx_body(
+                path, body_offset, nnz, ncl
+            )
+            body = None
+        else:
+            body = np.loadtxt(f, ndmin=2) if nnz > 0 else np.zeros((0, 3))
+            if body.shape[0] != nnz:
+                raise ValueError(
+                    f"{path}: expected {nnz} entries, got {body.shape[0]}"
+                )
+            rows = body[:, 0].astype(np.int64) - 1
+            cols = body[:, 1].astype(np.int64) - 1
+            re_v = body[:, 2] if body.shape[1] > 2 else None
+            im_v = body[:, 3] if body.shape[1] > 3 else None
     if field == "pattern":
         vals = np.ones(nnz, dtype=dtype)
     elif field == "complex":
-        vals = body[:, 2] + 1j * body[:, 3]
+        vals = re_v + 1j * im_v
     else:
-        vals = body[:, 2].astype(dtype)
+        vals = np.asarray(re_v, dtype=dtype)
     if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
         off = rows != cols
         extra_v = vals[off]
@@ -46,8 +61,8 @@ def read_mtx(path: str, dtype=np.float64) -> CSR:
             extra_v = -extra_v
         elif symmetry == "hermitian":
             extra_v = np.conj(extra_v)
-        rows = np.concatenate([rows, cols[off]])
-        cols = np.concatenate([cols, body[:, 0].astype(np.int64)[off] - 1])
+        rows, cols = (np.concatenate([rows, cols[off]]),
+                      np.concatenate([cols, rows[off]]))
         vals = np.concatenate([vals, extra_v])
     return CSR.from_coo(rows, cols, vals, (nrow, ncol))
 
@@ -58,7 +73,7 @@ def write_mtx(path: str, mat) -> None:
 
     csr = to_csr(mat)
     data, indices, _ = csr.numpy_triplet()
-    rows = np.asarray(csr.row_ids, dtype=np.int64)
+    rows = csr.numpy_rows()   # host cache — no device readback
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{csr.shape[0]} {csr.shape[1]} {len(data)}\n")

@@ -1,0 +1,171 @@
+"""Native (C++) setup-phase kernels.
+
+Reference parity: rocALUTION's host backend is C++ (src/base/host/*); the
+sequential factorization sweeps and file parsing live there. Here the same
+split holds: JAX/XLA/Pallas own the device compute path, and this module is
+the native runtime layer for the sequential host work — compiled once from
+csrc/rocalution_tpu_native.cpp with g++ and bound via ctypes (no pybind11
+in this environment).
+
+Every entry point has a pure-numpy fallback in ops/factorize — `available()`
+gates dispatch, mirroring the reference's capability-flag design
+(base_matrix.hpp bool returns → host fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                    "rocalution_tpu_native.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "ROCALUTION_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rocalution_tpu"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, f"native_{tag}.so")
+    if not os.path.exists(lib_path):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", src, "-o", lib_path + ".tmp"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(lib_path + ".tmp", lib_path)
+        except Exception as e:  # compiler missing / failed: fall back
+            print(f"rocalution_tpu: native build failed ({e}); "
+                  "using numpy fallbacks", file=sys.stderr)
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.rt_ilu0_csr.restype = ctypes.c_int
+    lib.rt_ilu0_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p]
+    lib.rt_ic0_csr.restype = ctypes.c_int
+    lib.rt_ic0_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p]
+    lib.rt_ilut_csr.restype = ctypes.c_int
+    lib.rt_ilut_csr.argtypes = [
+        ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double, ctypes.c_int64,
+        i32p, f64p, i64p, i32p, f64p, i64p,
+    ]
+    lib.rt_mtx_body.restype = ctypes.c_int
+    lib.rt_mtx_body.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        i64p, i64p, f64p, f64p,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("ROCALUTION_TPU_NO_NATIVE") != "1":
+            _LIB = _build_and_load()
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def ilu0_inplace(indptr: np.ndarray, cols: np.ndarray,
+                 data: np.ndarray) -> None:
+    """In-place IKJ ILU(0); raises on zero pivot."""
+    lib = get_lib()
+    n = len(indptr) - 1
+    rc = lib.rt_ilu0_csr(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
+        _ptr(data, ctypes.c_double),
+    )
+    if rc != 0:
+        raise ZeroDivisionError(f"ILU(0) breakdown at row {-rc - 1}")
+
+
+def ic0_inplace(indptr: np.ndarray, cols: np.ndarray,
+                data: np.ndarray) -> None:
+    lib = get_lib()
+    n = len(indptr) - 1
+    rc = lib.rt_ic0_csr(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
+        _ptr(data, ctypes.c_double),
+    )
+    if rc != 0:
+        raise ValueError(f"IC(0) breakdown at row {-rc - 1}")
+
+
+def ilut(indptr: np.ndarray, cols: np.ndarray, data: np.ndarray,
+         tol: float, max_fill: int) -> Tuple:
+    """ILUT(t, m); returns (l_rows, l_cols, l_vals, u_rows, u_cols, u_vals)
+    in COO form (L strict lower — unit diagonal NOT included)."""
+    lib = get_lib()
+    n = len(indptr) - 1
+    l_cols = np.zeros(n * max_fill, np.int32)
+    l_vals = np.zeros(n * max_fill, np.float64)
+    l_cnt = np.zeros(n, np.int64)
+    u_cols = np.zeros(n * (max_fill + 1), np.int32)
+    u_vals = np.zeros(n * (max_fill + 1), np.float64)
+    u_cnt = np.zeros(n, np.int64)
+    rc = lib.rt_ilut_csr(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), float(tol), int(max_fill),
+        _ptr(l_cols, ctypes.c_int32), _ptr(l_vals, ctypes.c_double),
+        _ptr(l_cnt, ctypes.c_int64),
+        _ptr(u_cols, ctypes.c_int32), _ptr(u_vals, ctypes.c_double),
+        _ptr(u_cnt, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ZeroDivisionError(f"ILUT breakdown at row {-rc - 1}")
+
+    def unpack(ccols, cvals, cnt, stride):
+        rows = np.repeat(np.arange(n), cnt)
+        mask = (np.arange(stride)[None, :] < cnt[:, None]).ravel()
+        return rows, ccols.reshape(n, stride).ravel()[mask], \
+            cvals.reshape(n, stride).ravel()[mask]
+
+    lr, lc, lv = unpack(l_cols, l_vals, l_cnt, max_fill)
+    ur, uc, uv = unpack(u_cols, u_vals, u_cnt, max_fill + 1)
+    return lr, lc, lv, ur, uc, uv
+
+
+def mtx_body(path: str, header_offset: int, nnz: int,
+             ncols_per_line: int) -> Tuple:
+    lib = get_lib()
+    rows = np.zeros(nnz, np.int64)
+    cols = np.zeros(nnz, np.int64)
+    re = np.zeros(nnz, np.float64)
+    im = np.zeros(nnz, np.float64) if ncols_per_line == 4 else None
+    rc = lib.rt_mtx_body(
+        path.encode(), int(header_offset), int(nnz), int(ncols_per_line),
+        _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+        _ptr(re, ctypes.c_double),
+        _ptr(im, ctypes.c_double) if im is not None
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise IOError(f"mtx body parse failed ({rc}) for {path}")
+    return rows, cols, re, im

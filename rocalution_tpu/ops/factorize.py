@@ -81,16 +81,29 @@ def _ilu0_numeric(data, cols, indptr, n):
     return data
 
 
+def _use_native(data) -> bool:
+    from .. import native
+
+    return data.dtype == np.float64 and native.available()
+
+
 def ilu0(A: CSR) -> Tuple[CSR, CSR]:
     """ILU(0): incomplete LU on the sparsity pattern of A.
 
     Returns (L, U) with L unit-lower (explicit 1s on the diagonal) and U
     upper including the diagonal, so A ≈ L @ U (reference:
-    LocalMatrix::ILU0Factorize).
+    LocalMatrix::ILU0Factorize). Uses the native C++ sweep when available
+    (rocalution_tpu.native), numpy otherwise.
     """
     data, cols, indptr = _host(A)
     n = A.shape[0]
-    data = _ilu0_numeric(data, cols, indptr, n)
+    if _use_native(data):
+        from .. import native
+
+        cols32 = cols.astype(np.int32)
+        native.ilu0_inplace(indptr.astype(np.int64), cols32, data)
+    else:
+        data = _ilu0_numeric(data, cols, indptr, n)
     return _split_lu(data, cols, indptr, n)
 
 
@@ -108,6 +121,12 @@ def ic0(A: CSR) -> CSR:
     lptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(lptr, lr + 1, 1)
     lptr = np.cumsum(lptr)
+
+    if _use_native(lv):
+        from .. import native
+
+        native.ic0_inplace(lptr.astype(np.int64), lc.astype(np.int32), lv)
+        return CSR.from_coo(lr, lc, lv, (n, n))
 
     for i in range(n):
         rs, re = lptr[i], lptr[i + 1]
@@ -190,7 +209,13 @@ def ilup(A: CSR, p: int = 1) -> Tuple[CSR, CSR]:
         frs, fre = fptr[i], fptr[i + 1]
         idx = np.searchsorted(fcols[frs:fre], cols[ars:are])
         fdata[frs + idx] = data[ars:are]
-    fdata = _ilu0_numeric(fdata, fcols, fptr, n)
+    if _use_native(fdata):
+        from .. import native
+
+        native.ilu0_inplace(fptr.astype(np.int64),
+                            fcols.astype(np.int32), fdata)
+    else:
+        fdata = _ilu0_numeric(fdata, fcols, fptr, n)
     return _split_lu(fdata, fcols, fptr, n)
 
 
@@ -200,6 +225,19 @@ def ilut(A: CSR, tol: float = 1e-3, max_fill: int = 32) -> Tuple[CSR, CSR]:
     like ilu0."""
     data, cols, indptr = _host(A)
     n = A.shape[0]
+    if _use_native(data):
+        from .. import native
+
+        lr, lc, lv, ur, uc, uv = native.ilut(
+            indptr.astype(np.int64), cols.astype(np.int32), data,
+            tol, max_fill,
+        )
+        lr = np.concatenate([lr, np.arange(n)])
+        lc = np.concatenate([lc, np.arange(n)])
+        lv = np.concatenate([lv, np.ones(n, data.dtype)])
+        L = CSR.from_coo(lr, lc, lv, (n, n))
+        U = CSR.from_coo(ur, uc, uv, (n, n))
+        return L, U
     U_rows = [None] * n   # (cols >= k asc, vals); diag first position
     L_out_r, L_out_c, L_out_v = [], [], []
 

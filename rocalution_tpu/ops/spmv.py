@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR
+from ..formats.stencil import Stencil
 
 
 @functools.singledispatch
@@ -125,6 +126,11 @@ def _spmv_mcsr(A: MCSR, x):
     diag_part = _expand(A.diag[:n], x[:n])
     y = _spmv_csr(A.offd, x)
     return y.at[:n].add(diag_part)
+
+
+@spmv.register(Stencil)
+def _spmv_stencil(A: Stencil, x):
+    return A.apply(x)
 
 
 @spmv.register(DENSE)

@@ -1,0 +1,74 @@
+"""Native C++ kernel parity tests — the native sweeps must produce exactly
+the factors of the numpy reference implementations (the same dual-path
+equivalence the reference enforces between host and HIP backends)."""
+
+import numpy as np
+import pytest
+
+import rocalution_tpu as rt
+import rocalution_tpu.ops.factorize as fz
+from rocalution_tpu import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.fixture
+def A():
+    return rt.laplacian_2d(16)
+
+
+def _numpy_path(fn, *args):
+    orig = fz._use_native
+    fz._use_native = lambda d: False
+    try:
+        return fn(*args)
+    finally:
+        fz._use_native = orig
+
+
+def test_ilu0_parity(A):
+    L1, U1 = fz.ilu0(A)
+    L2, U2 = _numpy_path(fz.ilu0, A)
+    np.testing.assert_allclose(
+        np.asarray(L1.to_dense()), np.asarray(L2.to_dense()), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(U1.to_dense()), np.asarray(U2.to_dense()), atol=1e-14)
+
+
+def test_ic0_parity(A):
+    L1 = fz.ic0(A)
+    L2 = _numpy_path(fz.ic0, A)
+    np.testing.assert_allclose(
+        np.asarray(L1.to_dense()), np.asarray(L2.to_dense()), atol=1e-14)
+
+
+def test_ilut_parity(A):
+    L1, U1 = fz.ilut(A, 1e-4, 10)
+    L2, U2 = _numpy_path(fz.ilut, A, 1e-4, 10)
+    S = np.asarray(A.to_dense())
+    r1 = np.linalg.norm(np.asarray(L1.to_dense()) @ np.asarray(U1.to_dense()) - S)
+    r2 = np.linalg.norm(np.asarray(L2.to_dense()) @ np.asarray(U2.to_dense()) - S)
+    np.testing.assert_allclose(r1, r2, rtol=1e-10)
+
+
+def test_ilup_parity(A):
+    L1, U1 = fz.ilup(A, 1)
+    L2, U2 = _numpy_path(fz.ilup, A, 1)
+    np.testing.assert_allclose(
+        np.asarray(L1.to_dense()), np.asarray(L2.to_dense()), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(U1.to_dense()), np.asarray(U2.to_dense()), atol=1e-14)
+
+
+def test_mtx_native_parse(tmp_path):
+    from rocalution_tpu.io import read_mtx, write_mtx
+
+    A = rt.utils.generators.random_spd(50, density=0.08, seed=9)
+    p = str(tmp_path / "a.mtx")
+    write_mtx(p, A)
+    B = read_mtx(p)
+    np.testing.assert_allclose(
+        np.asarray(B.to_dense()), np.asarray(A.to_dense()), rtol=1e-12)
