@@ -1,0 +1,53 @@
+"""Client-layer tests: bench CLI contract + matrix key (reference: clients/
+benchmarks driver + key.cpp sample)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+import rocalution_tpu as rt
+from rocalution_tpu.utils.key import matrix_key
+
+
+def test_bench_cli_json(tmp_path):
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    out = subprocess.run(
+        [sys.executable, "-m", "rocalution_tpu.bench_cli", "--solver", "cg",
+         "--precond", "jacobi", "--format", "DIA", "--size", "16",
+         "--tol", "1e-8"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["convergence"] is True
+    assert res["iter"] > 0
+    assert res["nrmmax_err"] < 1e-5
+    for k in ("time_import_s", "time_analyze_s", "time_solve_s"):
+        assert k in res
+
+
+def test_bench_cli_amg(tmp_path):
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    out = subprocess.run(
+        [sys.executable, "-m", "rocalution_tpu.bench_cli", "--solver",
+         "saamg", "--size", "24"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["convergence"] is True
+
+
+def test_matrix_key():
+    A, B, C = rt.laplacian_2d(12), rt.laplacian_2d(12), rt.laplacian_2d(13)
+    assert matrix_key(A) == matrix_key(B)
+    assert matrix_key(A) != matrix_key(C)
+    # value-only change flips only the value component
+    d, i, p = A.numpy_triplet()
+    D = rt.CSR.from_arrays(d * 2.0, i, p, A.shape)
+    ka, kd = matrix_key(A), matrix_key(D)
+    assert ka[0] == kd[0] and ka[1] == kd[1] and ka[2] != kd[2]
