@@ -1,0 +1,90 @@
+"""Complex dtype support, validators, and misc object semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rocalution_tpu as rt
+from rocalution_tpu.utils.validate import (ValidationError, check_matrix,
+                                           check_vector)
+
+
+def _hermitian_problem(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = B @ B.conj().T + n * np.eye(n)      # HPD
+    A = rt.CSR.from_dense(H)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = H @ x_true
+    return A, jnp.asarray(b), x_true
+
+
+def test_cg_complex_symmetric():
+    # the reference's CG uses DotNonConj (cg.cpp) — the complex-SYMMETRIC
+    # variant; oracle: A = S + i*T with S SPD, T symmetric small
+    rng = np.random.default_rng(1)
+    n = 60
+    B = rng.standard_normal((n, n))
+    S = B @ B.T + n * np.eye(n)
+    C = rng.standard_normal((n, n))
+    T = 0.05 * (C + C.T)
+    H = S + 1j * T
+    A = rt.CSR.from_dense(H)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = jnp.asarray(H @ x_true)
+    x, info = rt.cg(A, b, rel_tol=1e-12, max_iter=500)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-8 * np.linalg.norm(x_true)
+
+
+def test_gmres_complex():
+    A, b, x_true = _hermitian_problem(40, seed=3)
+    x, info = rt.gmres(A, b, rel_tol=1e-10, max_iter=500)
+    assert int(info.status) in (2, 1)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6 * np.linalg.norm(x_true)
+
+
+def test_bicgstab_complex_nonhermitian():
+    rng = np.random.default_rng(7)
+    n = 50
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = M * 0.1 + n * np.eye(n)            # diagonally dominant
+    A = rt.CSR.from_dense(H)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = jnp.asarray(H @ x_true)
+    x, info = rt.bicgstab(A, b, rel_tol=1e-12, max_iter=500)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-7 * np.linalg.norm(x_true)
+
+
+def test_validators():
+    A = rt.laplacian_2d(6)
+    check_matrix(A)
+    check_vector(np.ones(5))
+    with pytest.raises(ValidationError):
+        check_vector(np.array([1.0, np.nan]))
+    bad = rt.CSR.from_arrays(
+        np.array([np.inf]), np.array([0]), np.array([0, 1]), (1, 1)
+    )
+    with pytest.raises(ValidationError):
+        check_matrix(bad)
+
+
+def test_blas1_surface(rng):
+    # the LocalVector op surface (reference local_vector.hpp:68-670)
+    from rocalution_tpu.ops import blas1
+
+    x = jnp.asarray(rng.standard_normal(32))
+    y = jnp.asarray(rng.standard_normal(32))
+    assert abs(float(blas1.dot(x, y)) - float(np.dot(np.asarray(x), np.asarray(y)))) < 1e-12
+    i, v = blas1.amax(x)
+    assert abs(float(v)) == pytest.approx(float(np.max(np.abs(np.asarray(x)))))
+    np.testing.assert_allclose(np.asarray(blas1.inclusive_sum(x)),
+                               np.cumsum(np.asarray(x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(blas1.exclusive_sum(x)),
+                               np.cumsum(np.asarray(x)) - np.asarray(x),
+                               rtol=1e-10, atol=1e-12)
+    perm = rng.permutation(32)
+    np.testing.assert_allclose(
+        np.asarray(blas1.permute_backward(blas1.permute(x, perm), perm)),
+        np.asarray(x), atol=0)
