@@ -35,21 +35,37 @@ class ShardView:
 
 
 def shard_spmv(A: GlobalCSR, x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """y_local = (A @ x)_local with halo exchange (call inside shard_map)."""
+    """y_local = (A @ x)_local with halo exchange (call inside shard_map).
+
+    Neighbor-sparse mode: one `ppermute` per static neighbor shift — comm
+    volume is the true boundary size (the reference's Isend/Irecv-per-
+    neighbor property, parallel_manager.cpp:726-782), riding ICI.
+    Fallback (partitions coupling many parts): one `all_gather` of the
+    fixed-size boundary buffer. Either way the collective is issued before
+    the interior SpMV so XLA's latency-hiding scheduler overlaps them (the
+    role of the reference's interior/ghost streams).
+    """
     v = ShardView(A)
     nl = A.n_local
-    # 1. gather boundary entries into the fixed-size send buffer
-    send = x_local[v.send_idx]
-    # 2. exchange boundary buffers across the mesh axis (ICI collective);
-    #    issued before the interior SpMV so XLA overlaps the two
-    all_send = jax.lax.all_gather(send, axis_name)          # (P, max_send)
-    # 3. interior SpMV (overlaps with the collective under XLA scheduling)
+    P = A.nparts
+    if A.mode == "ppermute" and A.shifts:
+        recvs = []
+        for di, s in enumerate(A.shifts):
+            buf = x_local[v.send_off[di]]                   # (W,)
+            perm = [(q, q + s) for q in range(P) if 0 <= q + s < P]
+            recvs.append(jax.lax.ppermute(buf, axis_name, perm=perm))
+        recv_flat = jnp.concatenate(recvs)                  # (D*W,)
+    else:
+        send = x_local[v.send_idx]
+        all_send = jax.lax.all_gather(send, axis_name)      # (P, max_send)
+        recv_flat = all_send.reshape(-1)
+    # interior SpMV (overlaps with the collectives under XLA scheduling)
     y = jax.ops.segment_sum(
         v.int_data * x_local[v.int_cols], v.int_rows,
         num_segments=nl, indices_are_sorted=True,
     )
-    # 4. ghost SpMV on the received boundary values
-    ghost_vals = all_send.reshape(-1)[v.recv_idx]           # (max_ghost,)
+    # ghost SpMV on the received boundary values
+    ghost_vals = recv_flat[v.recv_idx]                      # (max_ghost,)
     y = y + jax.ops.segment_sum(
         v.ghost_data * ghost_vals[v.ghost_cols], v.ghost_rows,
         num_segments=nl, indices_are_sorted=True,

@@ -44,11 +44,19 @@ class GlobalCSR:
     ghost_cols: jnp.ndarray  # (P, nnz_gst) indices into the ghost buffer
     ghost_rows: jnp.ndarray  # (P, nnz_gst) local row ids (sorted)
     send_idx: jnp.ndarray    # (P, max_send) local rows gathered into send buffer
-    recv_idx: jnp.ndarray    # (P, max_ghost) flat indices into (P*max_send)
+    recv_idx: jnp.ndarray    # (P, max_ghost) flat recv-buffer indices
+    send_off: jnp.ndarray    # (P, D, W) per-shift send lists (neighbor mode)
     nparts: int = static_field(default=1)
     n_local: int = static_field(default=0)
     n_global: int = static_field(default=0)    # true (unpadded) size
     shape: Tuple[int, int] = static_field(default=(0, 0))
+    # neighbor-sparse exchange metadata: static shifts s (receiver = sender+s)
+    # and the exchange mode — "ppermute" (one collective per neighbor shift,
+    # volume O(sum of boundaries) — the reference's neighbor-sparse property,
+    # parallel_manager.cpp:726-782) or "allgather" (fallback when the
+    # partition couples many parts)
+    shifts: Tuple[int, ...] = static_field(default=())
+    mode: str = static_field(default="allgather")
 
     @property
     def dtype(self):
@@ -68,7 +76,7 @@ def _pad1(a, length, fill=0):
     return out
 
 
-def distribute_csr(A, nparts: int) -> GlobalCSR:
+def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     """Partition a host CSR into a GlobalCSR over `nparts` shards.
 
     Mirrors the boundary/ghost classification of clients/include/common.hpp:
@@ -113,17 +121,60 @@ def distribute_csr(A, nparts: int) -> GlobalCSR:
     max_send = max(1, max(len(s) for s in send_of))
     max_ghost = max(1, max(len(g) for g in ghost_cols_of))
 
-    # receive map: ghost col g of part p lives at owner o = g // nl, at the
-    # position of g in send_of[o]; flat index o*max_send + pos
-    recv_of = []
-    for p in range(P):
-        g = ghost_cols_of[p]
-        o = g // nl
-        flat = np.empty(len(g), dtype=np.int64)
-        for k in range(len(g)):
-            pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * nl)
-            flat[k] = o[k] * max_send + pos
-        recv_of.append(flat)
+    # neighbor shifts: receiver p needs owner o -> sender o ships with
+    # shift s = p - o (receiver = sender + s)
+    shift_set = sorted({
+        int(s)
+        for p in range(P)
+        for s in np.unique(p - ghost_cols_of[p] // nl)
+    })
+    use_pp = 0 < len(shift_set) <= max_neighbor_shifts
+    shifts = tuple(shift_set) if use_pp else ()
+
+    if use_pp:
+        sidx = {s: i for i, s in enumerate(shift_set)}
+        # per (sender, shift) sorted send lists (local indices)
+        send_lists = [[np.array([], np.int64) for _ in shift_set]
+                      for _ in range(P)]
+        for p in range(P):
+            g = ghost_cols_of[p]
+            o = g // nl
+            for s in np.unique(p - o):
+                sel = (p - o) == s
+                sender = p - s
+                send_lists[sender][sidx[int(s)]] = np.sort(
+                    g[sel] - sender * nl
+                )
+        W = max(1, max(len(l) for ls in send_lists for l in ls))
+        send_off_np = np.zeros((P, len(shift_set), W), np.int64)
+        for q in range(P):
+            for i, l in enumerate(send_lists[q]):
+                send_off_np[q, i, : len(l)] = l
+        # receive map into the concatenated (D*W,) per-shift recv buffers
+        recv_of = []
+        for p in range(P):
+            g = ghost_cols_of[p]
+            o = g // nl
+            flat = np.empty(len(g), dtype=np.int64)
+            for k in range(len(g)):
+                s = int(p - o[k])
+                pos = np.searchsorted(send_lists[o[k]][sidx[s]],
+                                      g[k] - o[k] * nl)
+                flat[k] = sidx[s] * W + pos
+            recv_of.append(flat)
+    else:
+        send_off_np = np.zeros((P, 1, 1), np.int64)
+        # all_gather mode: ghost col g of part p lives at owner o = g // nl,
+        # at the position of g in send_of[o]; flat index o*max_send + pos
+        recv_of = []
+        for p in range(P):
+            g = ghost_cols_of[p]
+            o = g // nl
+            flat = np.empty(len(g), dtype=np.int64)
+            for k in range(len(g)):
+                pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * nl)
+                flat[k] = o[k] * max_send + pos
+            recv_of.append(flat)
 
     # split nnz per part into interior / ghost, renumber, pad
     int_d, int_c, int_r, gst_d, gst_c, gst_r = [], [], [], [], [], []
@@ -157,10 +208,13 @@ def distribute_csr(A, nparts: int) -> GlobalCSR:
         ghost_rows=stack(gst_r, nnz_gst, nl - 1, np.int32),
         send_idx=stack(send_of, max_send, 0, np.int32),
         recv_idx=stack(recv_of, max_ghost, 0, np.int32),
+        send_off=jnp.asarray(send_off_np.astype(np.int32)),
         nparts=P,
         n_local=nl,
         n_global=n,
         shape=(n, n),
+        shifts=shifts,
+        mode="ppermute" if use_pp else "allgather",
     )
 
 

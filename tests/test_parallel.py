@@ -89,3 +89,42 @@ def test_dist_solver_family(problem, solver):
     x, info = dist_solve(solver, Ag, b, M=M, rel_tol=1e-9, max_iter=2000)
     assert int(info.status) in (1, 2), solver.__name__
     assert np.linalg.norm(np.asarray(x) - x_true) < 1e-5, solver.__name__
+
+
+def test_neighbor_sparse_mode(problem, rng):
+    """ppermute neighbor exchange must match the all_gather fallback and be
+    selected for banded partitions (the reference's neighbor-sparse
+    property)."""
+    A, b, x_true = problem
+    Ag_pp = distribute_csr(A, NP)
+    assert Ag_pp.mode == "ppermute" and len(Ag_pp.shifts) <= 2, (
+        Ag_pp.mode, Ag_pp.shifts)
+    Ag_ag = distribute_csr(A, NP, max_neighbor_shifts=0)
+    assert Ag_ag.mode == "allgather"
+    x = rng.standard_normal(A.shape[0])
+    xp = distribute_vector(x, NP, Ag_pp.n_local)
+    mesh = make_mesh(NP)
+    from jax.sharding import PartitionSpec as P
+
+    def run(Ag):
+        fn = jax.shard_map(
+            lambda Ash, xs: shard_spmv(Ash, xs[0], "p")[None],
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P("p"), Ag), P("p")),
+            out_specs=P("p"),
+        )
+        return np.asarray(gather_vector(fn(Ag, xp), Ag.n_global))
+
+    y_ref = np.asarray(rt.spmv(A, x))
+    np.testing.assert_allclose(run(Ag_pp), y_ref, rtol=1e-12)
+    np.testing.assert_allclose(run(Ag_ag), y_ref, rtol=1e-12)
+
+
+def test_neighbor_sparse_dist_solve(problem):
+    A, b, x_true = problem
+    Ag = distribute_csr(A, NP)
+    assert Ag.mode == "ppermute"
+    x, info = dist_solve(rt.cg, Ag, b, M=block_jacobi_diag(Ag),
+                         rel_tol=1e-10, max_iter=500)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6
