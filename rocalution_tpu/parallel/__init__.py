@@ -15,3 +15,4 @@ __all__ = [
     "shard_spmv", "shard_operator", "dist_solve", "make_mesh",
     "block_jacobi_diag",
 ]
+from .amg import DistMG, dist_amg_solve, distribute_hierarchy

@@ -47,9 +47,12 @@ class GlobalCSR:
     recv_idx: jnp.ndarray    # (P, max_ghost) flat recv-buffer indices
     send_off: jnp.ndarray    # (P, D, W) per-shift send lists (neighbor mode)
     nparts: int = static_field(default=1)
-    n_local: int = static_field(default=0)
-    n_global: int = static_field(default=0)    # true (unpadded) size
+    n_local: int = static_field(default=0)      # rows per part
+    n_global: int = static_field(default=0)    # true (unpadded) row count
     shape: Tuple[int, int] = static_field(default=(0, 0))
+    # rectangular operators (distributed AMG transfers): column partition
+    n_local_col: int = static_field(default=0)  # cols per part (0 = square)
+    n_global_col: int = static_field(default=0)
     # neighbor-sparse exchange metadata: static shifts s (receiver = sender+s)
     # and the exchange mode — "ppermute" (one collective per neighbor shift,
     # volume O(sum of boundaries) — the reference's neighbor-sparse property,
@@ -80,24 +83,28 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     """Partition a host CSR into a GlobalCSR over `nparts` shards.
 
     Mirrors the boundary/ghost classification of clients/include/common.hpp:
-    rows are split into equal blocks (the matrix is padded with unit diagonal
-    rows to a multiple of nparts — padding rows are inert: x=0 stays 0).
+    rows are split into equal blocks (square matrices are padded with unit
+    diagonal rows to a multiple of nparts — padding rows are inert: x=0
+    stays 0). Rectangular operators (AMG transfer P/R) are supported: rows
+    follow the row partition, columns the column partition; padding rows
+    are simply empty.
     """
     csr = to_csr(A)
     data, cols, indptr = csr.numpy_triplet()
-    n = csr.shape[0]
-    assert csr.shape[0] == csr.shape[1], "distribute_csr needs a square matrix"
+    n, ncol = csr.shape
+    square = n == ncol
     P = int(nparts)
     nl = -(-n // P)
+    ncl = nl if square else -(-ncol // P)
     n_pad = nl * P
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    if n_pad > n:
+    if square and n_pad > n:
         extra = np.arange(n, n_pad, dtype=np.int64)
         rows = np.concatenate([rows, extra])
         cols = np.concatenate([cols, extra])
         data = np.concatenate([data, np.ones(n_pad - n, dtype=data.dtype)])
 
-    owner = cols // nl
+    owner = cols // ncl
     row_owner = rows // nl
 
     # ghost columns needed per part
@@ -109,7 +116,7 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     # boundary (send) rows per part: union of other parts' ghost needs
     send_of = []
     for p in range(P):
-        lo, hi = p * nl, (p + 1) * nl
+        lo, hi = p * ncl, (p + 1) * ncl
         need = np.unique(
             np.concatenate(
                 [g[(g >= lo) & (g < hi)] for q, g in enumerate(ghost_cols_of) if q != p]
@@ -126,7 +133,7 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     shift_set = sorted({
         int(s)
         for p in range(P)
-        for s in np.unique(p - ghost_cols_of[p] // nl)
+        for s in np.unique(p - ghost_cols_of[p] // ncl)
     })
     use_pp = 0 < len(shift_set) <= max_neighbor_shifts
     shifts = tuple(shift_set) if use_pp else ()
@@ -138,12 +145,12 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
                       for _ in range(P)]
         for p in range(P):
             g = ghost_cols_of[p]
-            o = g // nl
+            o = g // ncl
             for s in np.unique(p - o):
                 sel = (p - o) == s
                 sender = p - s
                 send_lists[sender][sidx[int(s)]] = np.sort(
-                    g[sel] - sender * nl
+                    g[sel] - sender * ncl
                 )
         W = max(1, max(len(l) for ls in send_lists for l in ls))
         send_off_np = np.zeros((P, len(shift_set), W), np.int64)
@@ -154,37 +161,36 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
         recv_of = []
         for p in range(P):
             g = ghost_cols_of[p]
-            o = g // nl
+            o = g // ncl
             flat = np.empty(len(g), dtype=np.int64)
             for k in range(len(g)):
                 s = int(p - o[k])
                 pos = np.searchsorted(send_lists[o[k]][sidx[s]],
-                                      g[k] - o[k] * nl)
+                                      g[k] - o[k] * ncl)
                 flat[k] = sidx[s] * W + pos
             recv_of.append(flat)
     else:
         send_off_np = np.zeros((P, 1, 1), np.int64)
-        # all_gather mode: ghost col g of part p lives at owner o = g // nl,
+        # all_gather mode: ghost col g of part p lives at owner o = g // ncl,
         # at the position of g in send_of[o]; flat index o*max_send + pos
         recv_of = []
         for p in range(P):
             g = ghost_cols_of[p]
-            o = g // nl
+            o = g // ncl
             flat = np.empty(len(g), dtype=np.int64)
             for k in range(len(g)):
-                pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * nl)
+                pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * ncl)
                 flat[k] = o[k] * max_send + pos
             recv_of.append(flat)
 
     # split nnz per part into interior / ghost, renumber, pad
     int_d, int_c, int_r, gst_d, gst_c, gst_r = [], [], [], [], [], []
     for p in range(P):
-        lo = p * nl
         rmask = row_owner == p
-        rp, cp, dp = rows[rmask] - lo, cols[rmask], data[rmask]
+        rp, cp, dp = rows[rmask] - p * nl, cols[rmask], data[rmask]
         imask = owner[rmask] == p
         int_d.append(dp[imask])
-        int_c.append(cp[imask] - lo)
+        int_c.append(cp[imask] - p * ncl)
         int_r.append(rp[imask])
         gmask = ~imask
         gcols = np.searchsorted(ghost_cols_of[p], cp[gmask])
@@ -212,9 +218,11 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
         nparts=P,
         n_local=nl,
         n_global=n,
-        shape=(n, n),
+        shape=(n, ncol),
         shifts=shifts,
         mode="ppermute" if use_pp else "allgather",
+        n_local_col=ncl,
+        n_global_col=ncol,
     )
 
 

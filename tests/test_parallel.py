@@ -128,3 +128,44 @@ def test_neighbor_sparse_dist_solve(problem):
                          rel_tol=1e-10, max_iter=500)
     assert int(info.status) in (1, 2)
     assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6
+
+
+@pytest.mark.parametrize("kind", ["sa", "ua", "rs"])
+def test_dist_amg(problem, kind):
+    """Distributed AMG-preconditioned CG: converges and matches the serial
+    hierarchy iterate-for-iterate (same hierarchy, sharded execution)."""
+    from rocalution_tpu.parallel import dist_amg_solve
+    from rocalution_tpu.solvers.multigrid import amg_precond
+
+    A, b, x_true = problem
+    x, info = dist_amg_solve(rt.cg, A, b, NP, kind=kind,
+                             amg_kwargs={"coarse_size": 40},
+                             rel_tol=1e-10, max_iter=200)
+    assert int(info.status) in (1, 2), kind
+    assert np.linalg.norm(np.asarray(x) - x_true) < 1e-6, kind
+    _, sinfo = rt.cg(A, b, M=amg_precond(A, kind, coarse_size=40),
+                     rel_tol=1e-10, max_iter=200)
+    assert abs(int(info.iterations) - int(sinfo.iterations)) <= 2, (
+        kind, int(info.iterations), int(sinfo.iterations))
+
+
+def test_dist_rect_spmv(problem, rng):
+    """Rectangular distributed operators (AMG transfers)."""
+    from jax.sharding import PartitionSpec as P
+
+    A, _, _ = problem
+    from rocalution_tpu.solvers.multigrid.aggregation import sa_level
+
+    Pm, Rm, Ac = sa_level(A)
+    Pg = distribute_csr(Pm, NP)
+    xc = rng.standard_normal(Pm.shape[1])
+    xcp = distribute_vector(xc, NP, Pg.n_local_col)
+    mesh = make_mesh(NP)
+    fn = jax.shard_map(
+        lambda Ash, xs: shard_spmv(Ash, xs[0], "p")[None],
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P("p"), Pg), P("p")),
+        out_specs=P("p"),
+    )
+    y = np.asarray(gather_vector(fn(Pg, xcp), Pg.n_global))
+    np.testing.assert_allclose(y, np.asarray(rt.spmv(Pm, xc)), rtol=1e-10)
