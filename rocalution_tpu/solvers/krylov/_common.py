@@ -85,7 +85,10 @@ def identity_precond(r):
 def prepare(A, b, x0, M, ctrl: Optional[IterationControl], kwargs) -> Tuple:
     """Normalize solver inputs: operator closure, rhs, initial guess,
     preconditioner closure, iteration control, reduction ops."""
+    from ...utils.log import log_debug
+
     axis_name = kwargs.pop("axis_name", None)
+    log_debug(A, "solve", getattr(b, "shape", None), axis_name, kwargs)
     op = as_operator(A)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
