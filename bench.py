@@ -162,6 +162,39 @@ def main():
     results["cg_jacobi_65k_iters"] = int(iters)
     log(f"cg check: iters={int(iters)} final_res={float(res):.3e}")
 
+    # --- flagship end-to-end: CG + SA-AMG V-cycle on the same system ---
+    from rocalution_tpu.solvers.multigrid import (amg_hierarchy,
+                                                  convert_hierarchy,
+                                                  cycle_closure)
+
+    A2h = rt.laplacian_2d(256, dtype=np.float64)  # AMG setup wants f64 host
+    t0 = time.perf_counter()
+    hier = amg_hierarchy(A2h, "sa", coarse_size=300)
+    # level operators -> DIA (gather-free) + f32 (native TPU rate)
+    hier = convert_hierarchy(hier, dtype=np.float32)
+    results["amg_setup_ms"] = (time.perf_counter() - t0) * 1e3
+    M = cycle_closure(hier)
+
+    @jax.jit
+    def solve_amg(b):
+        xs, info = rt.cg(hier.levels[0].A, b, M=M,
+                         rel_tol=1e-6, max_iter=200)
+        return jnp.sum(xs), info.iterations, info.final_res
+
+    b64 = jax.device_put(b2.astype(np.float32))
+    s, it2, res2 = solve_amg(b64)
+    float(s)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, it2, res2 = solve_amg(b64)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    results["cg_saamg_65k_ms"] = best * 1e3
+    results["cg_saamg_65k_iters"] = int(it2)
+    log(f"cg+saamg check: iters={int(it2)} final_res={float(res2):.3e} "
+        f"levels={hier.num_levels}")
+
     for k, v in sorted(results.items()):
         log(f"  {k:26s} {v:12.2f}")
 

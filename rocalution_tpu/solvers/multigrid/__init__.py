@@ -10,8 +10,9 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 from .aggregation import pairwise_level, sa_level, ua_level
-from .base import (Hierarchy, MGLevel, build_hierarchy, cycle_closure,
-                   jacobi_smoother, mg_solve, precond_smoother)
+from .base import (Hierarchy, MGLevel, build_hierarchy, convert_hierarchy,
+                   cycle_closure, jacobi_smoother, mg_solve,
+                   precond_smoother)
 from .rs import rs_level
 
 _LEVEL_BUILDERS = {
@@ -57,6 +58,12 @@ def amg_hierarchy(
         prolongs.append(P)
         restricts.append(R)
         ops.append(Ac)
+    if len(ops) == 1 and A.shape[0] > max(coarse_size, 4096):
+        raise ValueError(
+            f"AMG({kind}) failed to coarsen a {A.shape[0]}-row matrix at "
+            "all — refusing to fall back to a dense coarse solve; check "
+            "strength/coarsening parameters"
+        )
     return build_hierarchy(
         ops, prolongs, restricts, smoother=smoother,
         coarse_solve=coarse_solve, pre_sweeps=pre_sweeps,
@@ -94,7 +101,8 @@ def amg_precond(A_or_hierarchy, kind: str = "sa", **kwargs) -> Callable:
 
 __all__ = [
     "Hierarchy", "MGLevel", "amg_hierarchy", "amg_precond",
-    "build_hierarchy", "cycle_closure", "jacobi_smoother", "mg_solve",
+    "build_hierarchy", "convert_hierarchy", "cycle_closure",
+    "jacobi_smoother", "mg_solve",
     "pairwise_amg", "pairwise_level", "precond_smoother", "rs_level",
     "rsamg", "sa_level", "saamg", "ua_level", "uaamg",
 ]

@@ -34,6 +34,21 @@ def _scipy(A: CSR):
     )
 
 
+def _pattern_member(C, rows, cols) -> np.ndarray:
+    """Vectorized membership test: is (rows[k], cols[k]) a stored entry of
+    pattern C? (CSR keys are globally sorted -> one searchsorted)."""
+    C = C.tocsr()
+    C.sort_indices()
+    ncol = C.shape[1]
+    crow = np.repeat(np.arange(C.shape[0], dtype=np.int64),
+                     np.diff(C.indptr))
+    ckeys = crow * ncol + C.indices.astype(np.int64)
+    keys = rows.astype(np.int64) * ncol + cols.astype(np.int64)
+    pos = np.searchsorted(ckeys, keys)
+    pos_safe = np.minimum(pos, max(len(ckeys) - 1, 0))
+    return (len(ckeys) > 0) & (ckeys[pos_safe] == keys)
+
+
 def strength_connect(S, eps: float = 0.08):
     """Symmetric SA strength graph: |a_ij| >= eps sqrt(|a_ii a_jj|)
     (reference: LocalMatrix::AMGConnect with coupling strength)."""
@@ -91,7 +106,9 @@ def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
     n = C.shape[0]
     rng = np.random.default_rng(seed)
     w = rng.permutation(n).astype(np.float64)
-    C2 = (C + C @ C).tocsr()          # distance-2 adjacency
+    C2 = (C.astype(np.int32) + C @ C).tocsr()   # distance-2 adjacency
+    C2.setdiag(0)                     # self-paths would veto every maximum
+    C2.eliminate_zeros()
     agg = np.full(n, -1, np.int64)
     candidate = np.ones(n, bool)
     roots = []
@@ -135,6 +152,18 @@ def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
     return agg
 
 
+def _aggregate(C, strategy: str, seed: int) -> np.ndarray:
+    """Pick the aggregation pass: sequential greedy (Vanek parity) for
+    small setups, vectorized PMIS at scale ("auto" switches at 5000 rows —
+    the reference similarly keeps Greedy and PMIS as selectable
+    strategies, smoothed_amg.hpp SetCoarseningStrategy)."""
+    if strategy == "auto":
+        strategy = "greedy" if C.shape[0] <= 5000 else "pmis"
+    if strategy == "greedy":
+        return greedy_aggregate(C)
+    return pmis_aggregate(C, seed)
+
+
 def tentative_prolongation(agg: np.ndarray, n_agg: int, dtype):
     import scipy.sparse as sp
 
@@ -145,7 +174,7 @@ def tentative_prolongation(agg: np.ndarray, n_agg: int, dtype):
 
 
 def sa_level(A: CSR, *, eps: float = 0.08, omega: float = 2.0 / 3.0,
-             strategy: str = "greedy", lumping: bool = True,
+             strategy: str = "auto", lumping: bool = True,
              seed: int = 0) -> Tuple[CSR, CSR, CSR]:
     """One smoothed-aggregation coarsening step: returns (P, R, Ac)
     (reference: SAAMG::Aggregate_ — AMGSmoothedAggregation)."""
@@ -153,15 +182,14 @@ def sa_level(A: CSR, *, eps: float = 0.08, omega: float = 2.0 / 3.0,
 
     S = _scipy(A)
     C = strength_connect(S, eps)
-    agg = (greedy_aggregate if strategy == "greedy" else
-           lambda c: pmis_aggregate(c, seed))(C)
+    agg = _aggregate(C, strategy, seed)
     n_agg = int(agg.max()) + 1
     Ph = tentative_prolongation(agg, n_agg, S.dtype)
 
     # filtered operator: strong off-diagonal entries + (lumped) diagonal
     Acoo = S.tocoo()
     offd = Acoo.row != Acoo.col
-    strong = np.asarray(C[Acoo.row, Acoo.col]).ravel() > 0
+    strong = _pattern_member(C, Acoo.row, Acoo.col)
     keep = ~offd | strong
     Af = sp.csr_matrix(
         (Acoo.data[keep], (Acoo.row[keep], Acoo.col[keep])), shape=S.shape
@@ -184,13 +212,12 @@ def sa_level(A: CSR, *, eps: float = 0.08, omega: float = 2.0 / 3.0,
 
 
 def ua_level(A: CSR, *, eps: float = 0.08, over_interp: float = 1.0,
-             strategy: str = "greedy", seed: int = 0):
+             strategy: str = "auto", seed: int = 0):
     """One unsmoothed-aggregation step (reference: UAAMG::Aggregate_ with
     SetOverInterp — coarse operator scaled by 1/over_interp)."""
     S = _scipy(A)
     C = strength_connect(S, eps)
-    agg = (greedy_aggregate if strategy == "greedy" else
-           lambda c: pmis_aggregate(c, seed))(C)
+    agg = _aggregate(C, strategy, seed)
     n_agg = int(agg.max()) + 1
     P = tentative_prolongation(agg, n_agg, S.dtype).tocsr()
     R = P.T.tocsr()

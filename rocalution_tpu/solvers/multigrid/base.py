@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,51 @@ def build_hierarchy(
     if coarse_solve is None:
         coarse_solve = qr_factor(ops[-1])
     return Hierarchy(levels, coarse_solve, pre_sweeps, post_sweeps, cycle)
+
+
+def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
+                      max_diags: int = 96, dtype=None) -> Hierarchy:
+    """Convert level operators to a faster device format (reference:
+    SetOperatorFormat/DefaultSmootherOperatorFormat on BaseAMG — per-level
+    format control). "auto" picks DIA when the level's band has few
+    distinct offsets (the TPU-fast gather-free path), else keeps CSR.
+    `dtype` additionally casts every level's values (f32 hierarchies are the
+    TPU-native choice — f64 is software-emulated; pair with an f64 outer
+    defect correction when full precision is needed). Smoothers and the
+    coarse solver are rebuilt against the converted operators."""
+    from ...formats import DIA, convert
+    from ...formats.base import get_host
+
+    def cast(M):
+        if dtype is None or M is None:
+            return M
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+            else x,
+            M,
+        )
+
+    new_levels = []
+    for lv in h.levels:
+        A = lv.A
+        if fmt in ("auto", "DIA") and not isinstance(A, DIA) and hasattr(
+                A, "numpy_triplet"):
+            idx = get_host(A, "indices").astype(np.int64)
+            rows = get_host(A, "row_ids").astype(np.int64)
+            ndiag = len(np.unique(idx - rows))
+            if fmt == "DIA" or ndiag <= max_diags:
+                A = convert(A, "DIA")
+        A = cast(A)
+        new_levels.append(MGLevel(
+            A=A, P=cast(lv.P), R=cast(lv.R),
+            smooth=None if lv.smooth is None else jacobi_smoother(A),
+        ))
+    coarse = h.coarse_solve
+    if dtype is not None:
+        coarse = qr_factor(new_levels[-1].A)
+    return Hierarchy(new_levels, coarse, h.pre_sweeps,
+                     h.post_sweeps, h.cycle)
 
 
 def cycle_closure(h: Hierarchy) -> Callable:

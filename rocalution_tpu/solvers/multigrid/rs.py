@@ -100,11 +100,12 @@ def direct_interpolation(S, Sgraph, cfmap: np.ndarray):
     n = S.shape[0]
     coarse_idx = np.cumsum(cfmap) - 1      # C index per row (valid where C)
     nc = int(cfmap.sum())
+    from .aggregation import _pattern_member
+
     A = S.tocoo()
     offd = A.row != A.col
-    strong = np.asarray(
-        Sgraph[A.row, A.col]
-    ).ravel().astype(bool) if Sgraph.nnz else np.zeros(len(A.row), bool)
+    strong = (_pattern_member(Sgraph, A.row, A.col)
+              if Sgraph.nnz else np.zeros(len(A.row), bool))
     interp = offd & strong & cfmap[A.col]
 
     neg = A.data < 0

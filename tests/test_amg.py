@@ -146,3 +146,28 @@ def test_spgemm_numeric_update(rng):
                 row_ids=C.row_ids, shape=C.shape)
     np.testing.assert_allclose(
         np.asarray(Cd.to_dense()), np.asarray(ref.to_dense()), atol=1e-10)
+
+
+def test_pmis_aggregation_coarsens():
+    """Regression: PMIS aggregation must actually coarsen (the distance-2
+    graph must exclude self-paths or no node is ever a local maximum)."""
+    from rocalution_tpu.solvers.multigrid.aggregation import (
+        _scipy, pmis_aggregate, strength_connect)
+
+    A = rt.laplacian_2d(40)
+    C = strength_connect(_scipy(A), 0.08)
+    agg = pmis_aggregate(C, 1)
+    n_agg = int(agg.max()) + 1
+    assert n_agg < A.shape[0] / 3, n_agg
+    # every node assigned
+    assert (agg >= 0).all()
+
+
+def test_amg_pmis_strategy_solve(rng):
+    A = rt.laplacian_2d(24)
+    x_true = rng.standard_normal(A.shape[0])
+    b = np.asarray(rt.spmv(A, x_true))
+    M = amg_precond(A, "sa", coarse_size=60, strategy="pmis")
+    x, info = rt.cg(A, b, M=M, rel_tol=1e-9, max_iter=200)
+    assert int(info.status) in (1, 2)
+    assert int(info.iterations) <= 40
