@@ -110,6 +110,31 @@ def to_csr(mat) -> CSR:
     raise TypeError(f"cannot convert {type(mat).__name__} to CSR")
 
 
+def cast_values(mat, dtype):
+    """Cast a format's value arrays to `dtype`, host-side when caches exist
+    (setup-phase: each eager device cast costs a remote compile on this
+    platform)."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(mat, CSR) and getattr(mat, "_host_cache", None):
+        d, i, p = mat.numpy_triplet()
+        return CSR.from_arrays(d.astype(dtype), i, p, mat.shape)
+    if isinstance(mat, DIA):
+        from .base import set_host_cache
+
+        dat = get_host(mat, "data").astype(dtype)
+        out = DIA(data=jnp.asarray(dat), offsets=mat.offsets, shape=mat.shape)
+        set_host_cache(out, data=dat)
+        return out
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+        else x,
+        mat,
+    )
+
+
 def convert(mat, fmt: str, **kwargs):
     """Convert a matrix to the named format (analog LocalMatrix::ConvertTo)."""
     fmt = fmt.upper()

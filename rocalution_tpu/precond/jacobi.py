@@ -46,5 +46,31 @@ def extract_diagonal(A):
 
 
 def inverse_diagonal(A):
+    # host path when the matrix carries a host cache: setup must not issue
+    # eager device ops (each costs a remote compile on this platform)
+    host = inverse_diagonal_host(A)
+    if host is not None:
+        return jnp.asarray(host)
     d = extract_diagonal(A)
     return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+
+
+def inverse_diagonal_host(A):
+    """Numpy inverse diagonal from host caches; None if unavailable."""
+    from ..formats import CSR, DIA
+
+    if isinstance(A, DIA):
+        from ..formats.base import get_host
+
+        if 0 not in A.offsets:
+            return np.ones(min(A.shape))
+        d = get_host(A, "data")[A.offsets.index(0), : min(A.shape)]
+    elif isinstance(A, CSR) and getattr(A, "_host_cache", None):
+        data, indices, _ = A.numpy_triplet()
+        rows = A.numpy_rows()
+        d = np.zeros(min(A.shape), data.dtype)
+        sel = indices == rows
+        np.add.at(d, rows[sel], data[sel])
+    else:
+        return None
+    return np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)

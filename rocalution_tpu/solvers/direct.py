@@ -26,6 +26,14 @@ from .iter_ctrl import SolverInfo
 def _dense(A) -> jnp.ndarray:
     if isinstance(A, DENSE):
         return A.data
+    if hasattr(A, "numpy_triplet") and getattr(A, "_host_cache", None):
+        # densify on the host (setup phase: avoid the eager scatter compile)
+        import scipy.sparse as sp
+
+        d, i, p = A.numpy_triplet()
+        return jnp.asarray(
+            sp.csr_matrix((d, i, p), shape=A.shape).toarray()
+        )
     if hasattr(A, "to_dense"):
         return jnp.asarray(A.to_dense())
     return jnp.asarray(A)

@@ -61,8 +61,14 @@ class Hierarchy:
 def jacobi_smoother(A, omega: float = 2.0 / 3.0) -> Callable:
     """Default smoother: damped-Jacobi FixedPoint sweeps (reference:
     BaseAMG::BuildSmoothers default FixedPoint+Jacobi, base_amg.cpp)."""
-    d = extract_diagonal(A)
-    inv_d = jnp.where(d != 0, omega / jnp.where(d == 0, 1.0, d), omega)
+    from ...precond.jacobi import inverse_diagonal_host
+
+    host = inverse_diagonal_host(A)
+    if host is not None:          # setup stays host-side (no eager compiles)
+        inv_d = jnp.asarray(omega * host)
+    else:
+        d = extract_diagonal(A)
+        inv_d = jnp.where(d != 0, omega / jnp.where(d == 0, 1.0, d), omega)
 
     def smooth(b, x, sweeps):
         for _ in range(sweeps):
@@ -131,12 +137,9 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
     def cast(M):
         if dtype is None or M is None:
             return M
-        return jax.tree.map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
-            else x,
-            M,
-        )
+        from ...formats.convert import cast_values
+
+        return cast_values(M, dtype)
 
     new_levels = []
     for lv in h.levels:
