@@ -115,8 +115,11 @@ def main(argv=None):
     if args.solver in amg_kinds:
         x, info = mg_solve(h, b, **kw)
     elif args.solver == "chebyshev":
+        # Gershgorin bounds apply to A, not M^{-1}A: a preconditioner would
+        # invalidate them (stagnation/divergence), so chebyshev always runs
+        # unpreconditioned here.
         lo, hi = rt.gershgorin(A_csr)
-        x, info = rt.chebyshev(A, b, M=M, lambda_min=max(float(lo), 1e-6),
+        x, info = rt.chebyshev(A, b, lambda_min=max(float(lo), 1e-6),
                                lambda_max=float(hi), **kw)
     elif args.solver == "fixed_point":
         x, info = rt.fixed_point(A, b, M=M, **kw)

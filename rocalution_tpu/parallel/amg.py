@@ -111,6 +111,12 @@ def dist_amg_solve(solver: Callable, A, b, nparts: int, *,
     Returns (x, SolverInfo).
     """
     h = hierarchy or amg_hierarchy(A, kind, **(amg_kwargs or {}))
+    if h.num_levels < 2:
+        raise ValueError(
+            "dist_amg_solve: hierarchy has a single level (matrix already "
+            "at/below coarse_size, so no coarse grids were built) — use "
+            "dist_solve with a block_jacobi preconditioner instead"
+        )
     dh = distribute_hierarchy(h, nparts)
     Ag = dh.As[0]
     if mesh is None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,17 +114,20 @@ def variable_precond(preconds: Sequence[Callable]) -> Callable:
     """VariablePreconditioner: cycles among sub-preconditioners per
     application (reference: preconditioner.hpp:431-445).
 
-    Note: inside a traced `lax.while_loop` body the apply is traced once, so
-    the cycle advances per *trace site* (e.g. per inner iteration of an
-    unrolled flexible method like FGMRES restarts), matching the reference's
-    intent of varying the preconditioner between applications.
+    TPU-native: the cycle counter is an on-device array ref (`jax.new_ref`)
+    mutated inside the traced apply, so the rotation advances per
+    *application* even inside a `lax.while_loop` solver body — `lax.switch`
+    selects the sub-preconditioner on device, matching the reference's
+    per-call semantics exactly (not merely per trace site).
     """
-    state = {"k": 0}
+    counter = jax.new_ref(jnp.zeros((), jnp.int32))
+    branches = list(preconds)
+    n = len(branches)
 
     def apply(r):
-        p = preconds[state["k"] % len(preconds)]
-        state["k"] += 1
-        return p(r)
+        k = counter[...]
+        counter[...] = k + 1
+        return jax.lax.switch(k % n, branches, r)
 
     return apply
 

@@ -106,7 +106,10 @@ def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
     n = C.shape[0]
     rng = np.random.default_rng(seed)
     w = rng.permutation(n).astype(np.float64)
-    C2 = (C.astype(np.int32) + C @ C).tocsr()   # distance-2 adjacency
+    C32 = C.astype(np.int32)
+    # int32 before the product: int8 C @ C overflows (and can wrap a path
+    # count to exactly 0) once a row has >=127 shared strong neighbors.
+    C2 = (C32 + C32 @ C32).tocsr()              # distance-2 adjacency
     C2.setdiag(0)                     # self-paths would veto every maximum
     C2.eliminate_zeros()
     agg = np.full(n, -1, np.int64)

@@ -106,6 +106,28 @@ def test_variable_precond(prob):
     _check(rt.fgmres, A, b, x_true, M, "variable")
 
 
+def test_variable_precond_cycles_per_application():
+    """The rotation must advance per *application*, even when the apply is
+    traced once inside a lax.while_loop body (reference semantics:
+    preconditioner.hpp:431-445 — a new sub-preconditioner every call)."""
+    import jax
+    import jax.numpy as jnp
+
+    M = variable_precond([lambda r: r * 2.0, lambda r: r * 3.0])
+
+    @jax.jit
+    def run(v):
+        def body(carry):
+            i, x = carry
+            return (i + 1, M(x))
+
+        return jax.lax.while_loop(lambda c: c[0] < 4, body, (0, v))[1]
+
+    out = run(jnp.ones(4))
+    # alternating 2x, 3x, 2x, 3x => 36 (a per-trace-site cycle would give 16)
+    np.testing.assert_allclose(np.asarray(out), 36.0)
+
+
 def test_saddle_point():
     rng = np.random.default_rng(5)
     m, k = 40, 12
