@@ -18,6 +18,7 @@ from .dia import DIA
 from .ell import ELL
 from .hyb import HYB
 from .mcsr import MCSR
+from .wjd import WJD, from_csr as _wjd_from_csr
 
 FORMATS = {
     "CSR": CSR,
@@ -28,6 +29,7 @@ FORMATS = {
     "BCSR": BCSR,
     "MCSR": MCSR,
     "DENSE": DENSE,
+    "WJD": WJD,
 }
 
 
@@ -107,6 +109,24 @@ def to_csr(mat) -> CSR:
         )
     if isinstance(mat, DENSE):
         return CSR.from_dense(get_host(mat, "data"))
+    if isinstance(mat, WJD):
+        # reconstruct COO from slot vregs (explicit zeros are dropped, like
+        # every padded-format round trip: ELL/DIA do the same)
+        val = get_host(mat, "data")
+        u = get_host(mat, "uloc").astype(np.int64)
+        brow = get_host(mat, "brow").astype(np.int64)
+        Tp, K = brow.shape
+        tt, kk, ss, ll = np.nonzero(val)
+        rows = tt * 1024 + ss * 128 + ll
+        cols = (brow[tt, kk] * 128 - mat.pad_lo) + ss * 128 + ll + u[tt, kk, ss, ll]
+        vals = val[tt, kk, ss, ll]
+        sr = get_host(mat, "spill_row")
+        sc = get_host(mat, "spill_col")
+        sv = get_host(mat, "spill_val")
+        return CSR.from_coo(
+            np.concatenate([rows, sr]), np.concatenate([cols, sc]),
+            np.concatenate([vals, sv]), mat.shape,
+        )
     raise TypeError(f"cannot convert {type(mat).__name__} to CSR")
 
 
@@ -157,6 +177,8 @@ def convert(mat, fmt: str, **kwargs):
         return BCSR.from_csr_host(csr, kwargs.get("block_dim", 4))
     if fmt == "MCSR":
         return MCSR.from_csr_host(csr)
+    if fmt == "WJD":
+        return _wjd_from_csr(csr, **kwargs)
     if fmt == "DENSE":
         return DENSE.from_csr_host(csr)
     raise AssertionError

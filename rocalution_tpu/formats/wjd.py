@@ -1,0 +1,284 @@
+"""WJD — windowed jagged-diagonal storage, the TPU-fast sparse format.
+
+This is the TPU-native answer to the reference's optimized device kernel
+layer (rocSPARSE csrmv behind HIPAcceleratorMatrixCSR::Apply,
+src/base/hip/hip_matrix_csr.cpp:1215-1276, and the hand-written kernels in
+src/base/hip/hip_kernels_csr.hpp). A GPU handles CSR's irregular column
+gather with SIMT threads; a TPU cannot — its fast primitive is the 8x128
+vector register plus `tpu.dynamic_gather` (a lane-shuffle within one vreg,
+measured ~7.6 ns/vreg on v5e). WJD reshapes an arbitrary sparse matrix so
+SpMV uses exactly that primitive:
+
+* Rows are grouped into **tiles of 1024** laid out as one (8, 128) vreg
+  (row i -> tile t = i//1024, sublane s = (i//128)%8, lane l = i%128).
+* Within a tile, every nonzero is keyed by its diagonal offset
+  d = col - row and bucketed into **windows** of `win` consecutive offsets
+  (window id w = d >> wlog, local offset u = d - win*w in [0, win)).
+* The entries of one (tile, window, rank) triple form a **slot**: an
+  (8, 128) vreg of values + an (8, 128) vreg of local offsets u, where
+  `rank` numbers multiple hits of the same window by one row. Rows lacking
+  an entry pad with value 0 (u = 0 gathers a harmless in-window element).
+* Per slot, one scalar `brow` gives the 128-aligned first row of the x
+  window: x[col] = xwin[s + (l+u)//128, (l+u)%128], and since
+  u < win the row correction (l+u)//128 takes only nj = win/128 + 1
+  values — the whole gather is nj lane-shuffles plus selects, no scatter
+  (each product lands at its row's own (s, l) position; accumulation is
+  a vreg add).
+
+The kernel streams (values, u) from HBM while x stays VMEM-resident.
+Measured on v5e: 52 Gnnz/s (419 GB/s by the reference's 8-byte/nnz model,
+~51% of HBM roofline) on the 1M-row 3D Laplacian in CSR-equivalent form —
+vs 0.5 GB/s for XLA's gather-based CSR path.
+
+The window width trades gather count (nj per slot) against slot padding
+(union of windows over a tile's 1024 rows): narrow windows suit banded
+matrices, wide windows suit scattered ones. ``wlog="auto"`` measures the
+padding at width 256 and widens if it pays.
+
+Conversion is a pure host-side numpy pass (vectorized, no per-row Python
+loops) — the analog of the reference's format ConvertTo + rocsparse
+csrmv_analysis setup stage, reported separately as `time_analyze`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import MatrixBase, register_format, static_field
+
+TILE = 1024          # rows per tile: one (8, 128) f32 vreg
+
+
+def _load_rows(nj: int) -> int:
+    """Sublane rows the kernel loads per window (see spmv_wjd kernel)."""
+    return -(-(8 + nj) // 8) * 8
+
+
+@register_format
+@dataclasses.dataclass(frozen=True)
+class WJD(MatrixBase):
+    """Windowed jagged-diagonal matrix (see module docstring)."""
+
+    data: jnp.ndarray        # (T, K, 8, 128) values (slot vregs)
+    uloc: jnp.ndarray        # (T, K, 8, 128) local offsets in [0, win);
+                             #   uint8 when win <= 256, else int16
+    brow: jnp.ndarray        # (T, K) int32 window base row into padded x
+    diag_u: jnp.ndarray      # (T, K) int32: constant u for diagonal slots, -1 else
+    spill_row: jnp.ndarray   # (nspill,) int32 COO spill (rows beyond slot cap)
+    spill_col: jnp.ndarray   # (nspill,) int32
+    spill_val: jnp.ndarray   # (nspill,)
+    shape: Tuple[int, int] = static_field(default=(0, 0))
+    pad_lo: int = static_field(default=0)    # zeros prepended to x
+    xp_len: int = static_field(default=0)    # padded x length (multiple of 128)
+    nnz: int = static_field(default=0)
+    group: int = static_field(default=8)     # tiles per kernel grid step
+    wlog: int = static_field(default=8)      # log2 window width
+
+    @property
+    def nj(self) -> int:
+        """Gather candidates per slot: (l + u) >> 7 in [0, nj)."""
+        return (1 << self.wlog) // 128 + 1
+
+    @property
+    def padding_ratio(self) -> float:
+        Tp, K = self.brow.shape
+        return Tp * K * TILE / max(self.nnz, 1)
+
+
+# per-slot kernel cost model (ns, v5e-measured): base + gathers; spilled
+# entries pay the XLA segment-sum rate (~25 ns/nnz measured round 1)
+_COST_BASE = 12.0
+_COST_GATHER = 7.6
+_COST_SPILL = 25.0
+
+
+def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
+               max_slots: Optional[int] = 128) -> WJD:
+    """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
+
+    ``max_slots`` caps slots per tile; entries in hotter slots spill to a
+    COO tail handled by the XLA segment-sum path (the HYB ELL+COO split of
+    the reference, matrix_formats.hpp:127-136, re-targeted at tile slots).
+    """
+    n, m = int(shape[0]), int(shape[1])
+    vals = np.asarray(vals)
+    cols = np.asarray(cols, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    nnz = len(vals)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+
+    if nnz == 0:
+        return _assemble(vals, rows, rows, rows, rows, 1, n, m, 0, 8,
+                         spill=(rows, cols, vals), slot_info=None)
+
+    d = cols - rows
+    t = rows >> 10
+
+    T = max(1, -(-n // TILE))
+
+    def plan(wl):
+        wid = d >> wl                    # arithmetic shift: floor(d / win)
+        # rank of each entry within its (row, window) run. CSR stores
+        # columns sorted per row, so (row, wid) groups are contiguous runs.
+        new_run = np.ones(nnz, dtype=bool)
+        new_run[1:] = (rows[1:] != rows[:-1]) | (wid[1:] != wid[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_first = np.flatnonzero(new_run)
+        rank = np.arange(nnz, dtype=np.int64) - run_first[run_id]
+        wmin = int(wid.min())
+        wspan = int(wid.max()) - wmin + 1
+        rspan = int(rank.max()) + 1
+        enc = (t * wspan + (wid - wmin)) * rspan + rank
+        slot_enc, inv = np.unique(enc, return_inverse=True)
+        slot_t = slot_enc // (wspan * rspan)
+        slot_wid = (slot_enc // rspan) % wspan + wmin
+        tile_first = np.searchsorted(slot_t, np.arange(T, dtype=np.int64))
+        k_of_slot = (np.arange(len(slot_enc), dtype=np.int64)
+                     - tile_first[slot_t])
+        return wid, slot_t, slot_wid, k_of_slot, inv
+
+    def cost_of(wl, p):
+        """Estimated apply time (ns) with the best per-tile slot cap.
+
+        The kernel streams T*K slot vregs regardless of occupancy, so ONE
+        hot tile (e.g. a boundary row with clustered columns) would pad
+        every other tile; pick the cap K minimizing
+            T * K * slot_cost + (entries in slots with k >= K) * spill_cost
+        over the k-index entry histogram — hot-tile tails go to COO spill.
+        """
+        _, _, _, k_of_slot, inv = p
+        nj = (1 << wl) // 128 + 1
+        slot_cost = _COST_BASE + nj * _COST_GATHER
+        kmax = int(k_of_slot.max()) + 1
+        hist = np.bincount(k_of_slot[inv], minlength=kmax).astype(np.int64)
+        suffix = np.concatenate([np.cumsum(hist[::-1])[::-1], [0]])
+        caps = np.arange(1, kmax + 1)
+        costs = T * caps * slot_cost + suffix[caps] * _COST_SPILL
+        best_i = int(np.argmin(costs))
+        cap = int(caps[best_i])
+        if max_slots is not None and cap > max_slots:
+            cap = max_slots
+        cost = float(T * cap * slot_cost + suffix[cap] * _COST_SPILL)
+        return cost, cap
+
+    if wlog == "auto":
+        best = None
+        for wl in (8, 10, 11):
+            p = plan(wl)
+            c, cap = cost_of(wl, p)
+            if best is None or c < best[0]:
+                best = (c, wl, cap, p)
+            if len(p[3]) * TILE < 2 * nnz:   # already tight: stop widening
+                break
+        _, wlog, cap, (wid, slot_t, slot_wid, k_of_slot, inv) = best
+    else:
+        p = plan(wlog)
+        _, cap = cost_of(wlog, p)
+        wid, slot_t, slot_wid, k_of_slot, inv = p
+
+    k_of_entry = k_of_slot[inv]
+    u = (d - (wid << wlog)).astype(np.int64)       # in [0, win)
+
+    # spill entries in slots beyond the cap
+    if int(k_of_slot.max()) + 1 > cap:
+        keep_slot = k_of_slot < cap
+        keep = keep_slot[inv]
+        spill = (rows[~keep], cols[~keep], vals[~keep])
+        sel = np.flatnonzero(keep)
+        rows_k, vals_k, u_k = rows[sel], vals[sel], u[sel]
+        t_k, k_e = t[sel], k_of_entry[sel]
+        slot_sel = np.flatnonzero(keep_slot)
+        slot_t, slot_wid = slot_t[slot_sel], slot_wid[slot_sel]
+        k_of_slot = k_of_slot[slot_sel]
+        K = cap
+    else:
+        spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, vals.dtype))
+        rows_k, vals_k, u_k, t_k, k_e = rows, vals, u, t, k_of_entry
+        K = int(k_of_slot.max()) + 1
+
+    return _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
+                     spill=spill, slot_info=(slot_t, slot_wid, k_of_slot))
+
+
+def _auto_group(K: int) -> int:
+    """Tiles per grid step: enough slots per step to amortize grid overhead,
+    small enough to keep the double-buffered slot blocks in VMEM."""
+    return max(1, min(8, 256 // max(K, 1)))
+
+
+def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
+              *, spill, slot_info=None):
+    win = 1 << wlog
+    nj = win // 128 + 1
+    group = _auto_group(K)
+    T = max(1, -(-n // TILE))
+    Tp = -(-T // group) * group
+
+    dtype = vals_k.dtype if vals_k.size else np.float32
+    udtype = np.uint8 if win <= 256 else np.int16
+    val_arr = np.zeros((Tp, K, 8, 128), dtype=dtype)
+    u_arr = np.zeros((Tp, K, 8, 128), dtype=np.int32)
+    brow_arr = np.zeros((Tp, K), dtype=np.int64)
+    diag_arr = np.full((Tp, K), -1, dtype=np.int32)
+
+    if slot_info is not None and len(vals_k):
+        slot_t, slot_wid, k_of_slot = slot_info
+        s = (rows_k >> 7) & 7
+        l = rows_k & 127
+        val_arr[t_k, k_e, s, l] = vals_k
+        u_arr[t_k, k_e, s, l] = u_k
+
+        b = slot_t * TILE + (slot_wid << wlog)       # 128-aligned, may be <0
+        pad_lo = int(max(0, -(b.min())))
+        pad_lo = -(-pad_lo // 128) * 128
+        brow_arr[slot_t, k_of_slot] = (b + pad_lo) >> 7
+
+        # diagonal slots: every REAL entry shares one u -> pad holes with it
+        # so a kernel may take a gather-free roll path.
+        occ = np.zeros((Tp, K, 8, 128), dtype=bool)
+        occ[t_k, k_e, s, l] = True
+        u_masked = np.where(occ, u_arr, -1)
+        u_max = u_masked.reshape(Tp, K, -1).max(axis=2)
+        u_min_real = np.where(occ, u_arr, win).reshape(Tp, K, -1).min(axis=2)
+        is_diag = (u_max == u_min_real) & (u_max >= 0)
+        diag_arr = np.where(is_diag, u_max, -1).astype(np.int32)
+        fill = np.broadcast_to(np.maximum(u_max, 0)[:, :, None, None],
+                               u_arr.shape)
+        u_arr = np.where(occ, u_arr, np.where(is_diag[:, :, None, None],
+                                              fill, 0)).astype(np.int32)
+
+        max_brow = int(brow_arr.max())
+    else:
+        pad_lo = 0
+        max_brow = 0
+
+    # padded x must cover the deepest window load: rows [brow, brow+load_rows)
+    need_rows = max_brow + _load_rows(nj)
+    xp_len = max(need_rows * 128, -(-(pad_lo + m) // 128) * 128)
+    sr, sc, sv = spill
+    return WJD(
+        data=jnp.asarray(val_arr),
+        uloc=jnp.asarray(u_arr.astype(udtype)),
+        brow=jnp.asarray(brow_arr, dtype=jnp.int32),
+        diag_u=jnp.asarray(diag_arr),
+        spill_row=jnp.asarray(sr, dtype=jnp.int32),
+        spill_col=jnp.asarray(sc, dtype=jnp.int32),
+        spill_val=jnp.asarray(sv),
+        shape=(n, m),
+        pad_lo=pad_lo,
+        xp_len=int(xp_len),
+        nnz=int(nnz),
+        group=int(group),
+        wlog=int(wlog),
+    )
+
+
+def from_csr(A, **kwargs) -> WJD:
+    """Convert a CSR pytree (host-built) to WJD."""
+    d, i, p = A.numpy_triplet()
+    return csr_to_wjd(d, i, p, A.shape, **kwargs)

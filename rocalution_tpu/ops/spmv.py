@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..formats import BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR
+from ..formats import BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR, WJD
 from ..formats.stencil import Stencil
 
 
@@ -47,12 +47,44 @@ def _expand(vals, x_gathered):
     return vals[(...,) + (None,) * (x_gathered.ndim - vals.ndim)] * x_gathered
 
 
+@spmv.register(WJD)
+def _spmv_wjd(A: WJD, x):
+    from .pallas.spmv_wjd import wjd_spmv
+
+    if x.ndim != 1:
+        # multi-RHS rides the per-column kernel (vmapped over columns)
+        return jnp.stack(
+            [wjd_spmv(A, x[:, j]) for j in range(x.shape[1])], axis=1
+        )
+    return wjd_spmv(A, x)
+
+
 @spmv.register(CSR)
 def _spmv_csr(A: CSR, x):
+    wjd = getattr(A, "_wjd_cache", None)
+    if wjd is not None and x.ndim == 1 and _use_pallas(A.data.dtype, x.dtype):
+        return _spmv_wjd(wjd, x)
     prod = _expand(A.data, x[A.indices])
     return jax.ops.segment_sum(
         prod, A.row_ids, num_segments=A.shape[0], indices_are_sorted=True
     )
+
+
+def _use_pallas(adt, xdt) -> bool:
+    ok = (jnp.float32, jnp.bfloat16)
+    return jnp.dtype(adt) in ok and jnp.dtype(xdt) in ok
+
+
+def attach_wjd(A: CSR, **kwargs) -> CSR:
+    """Attach a WJD fast-apply representation to a host-built CSR (the analog
+    of rocSPARSE csrmv analysis, hip_sparse.hpp csrmv_analysis). Subsequent
+    `spmv(A, x)` calls with the SAME concrete object use the Pallas kernel;
+    the attachment is invisible to pytree flattening (jit-argument copies
+    fall back to the XLA path)."""
+    from ..formats.wjd import from_csr
+
+    object.__setattr__(A, "_wjd_cache", from_csr(A, **kwargs))
+    return A
 
 
 @spmv.register(COO)
