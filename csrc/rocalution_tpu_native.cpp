@@ -16,6 +16,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <set>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -187,6 +189,147 @@ int rt_ilut_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
         w[i] = 0.0;
     }
     return 0;
+}
+
+// Vanek greedy aggregation (reference: AMGGreedyAggregate,
+// host_matrix_csr.cpp). Pass 1: nodes whose strong neighborhood is fully
+// unaggregated seed an aggregate with it; pass 2: leftovers join an
+// adjacent aggregate; pass 3: leftovers become singletons.
+// agg must be pre-filled with -1. Returns the aggregate count.
+int64_t rt_greedy_aggregate(int64_t n, const int64_t* indptr,
+                            const int32_t* indices, int64_t* agg) {
+    int64_t na = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        const int64_t rs = indptr[i], re = indptr[i + 1];
+        if (re == rs) continue;
+        bool all_free = true;
+        for (int64_t p = rs; p < re; ++p)
+            if (agg[indices[p]] != -1) { all_free = false; break; }
+        if (all_free) {
+            agg[i] = na;
+            for (int64_t p = rs; p < re; ++p) agg[indices[p]] = na;
+            ++na;
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t a = agg[indices[p]];
+            if (a != -1) { agg[i] = a; break; }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (agg[i] == -1) agg[i] = na++;
+    return na;
+}
+
+// Classical Ruge-Stueben greedy C/F splitting (reference parity:
+// RSCoarsening, host_matrix_csr.cpp:6782; algorithm per Stuben's classical
+// two-pass coarsening). Inputs: S (strength CSR: row i strongly depends on
+// its columns) and its transpose ST (columns strongly depending on i).
+// cf must be pre-initialized: 0 = undecided, 2 = pre-forced F (isolated).
+// On return cf[i] in {1 (C), 2 (F)}. second_pass != 0 additionally promotes
+// one point of every strong F-F pair lacking a common C neighbor.
+// Returns the number of C points.
+int64_t rt_rs_coarsening(int64_t n, const int64_t* s_ptr,
+                         const int32_t* s_idx, const int64_t* st_ptr,
+                         const int32_t* st_idx, int second_pass,
+                         int8_t* cf) {
+    std::vector<int64_t> lambda(n, 0);
+    std::set<std::pair<int64_t, int64_t>> q;   // (lambda, node), max at end
+    for (int64_t i = 0; i < n; ++i) {
+        if (cf[i] != 0) continue;
+        lambda[i] = st_ptr[i + 1] - st_ptr[i];
+        q.insert({lambda[i], i});
+    }
+    auto bump = [&](int64_t l, int64_t delta) {
+        q.erase({lambda[l], l});
+        lambda[l] += delta;
+        q.insert({lambda[l], l});
+    };
+    while (!q.empty()) {
+        const int64_t i = std::prev(q.end())->second;
+        q.erase(std::prev(q.end()));
+        cf[i] = 1;                               // C point
+        // undecided points strongly depending on i become F
+        for (int64_t p = st_ptr[i]; p < st_ptr[i + 1]; ++p) {
+            const int64_t j = st_idx[p];
+            if (cf[j] != 0) continue;
+            q.erase({lambda[j], j});
+            cf[j] = 2;
+            // their dependencies become more attractive C candidates
+            for (int64_t t = s_ptr[j]; t < s_ptr[j + 1]; ++t) {
+                const int64_t l = s_idx[t];
+                if (cf[l] == 0) bump(l, +1);
+            }
+        }
+        // i's own dependencies lose one potential dependent
+        for (int64_t p = s_ptr[i]; p < s_ptr[i + 1]; ++p) {
+            const int64_t l = s_idx[p];
+            if (cf[l] == 0) bump(l, -1);
+        }
+    }
+    if (second_pass) {
+        std::vector<int64_t> mark(n, -1);        // C neighbors of current i
+        for (int64_t i = 0; i < n; ++i) {
+            if (cf[i] != 2) continue;
+            for (int64_t p = s_ptr[i]; p < s_ptr[i + 1]; ++p)
+                if (cf[s_idx[p]] == 1) mark[s_idx[p]] = i;
+            for (int64_t p = s_ptr[i]; p < s_ptr[i + 1]; ++p) {
+                const int64_t j = s_idx[p];
+                if (cf[j] != 2) continue;
+                bool common = false;
+                for (int64_t t = s_ptr[j]; t < s_ptr[j + 1]; ++t)
+                    if (cf[s_idx[t]] == 1 && mark[s_idx[t]] == i) {
+                        common = true;
+                        break;
+                    }
+                if (!common) {
+                    cf[j] = 1;                   // promote j to C
+                    mark[j] = i;                 // j now a common C for i
+                }
+            }
+        }
+    }
+    int64_t nc = 0;
+    for (int64_t i = 0; i < n; ++i) nc += cf[i] == 1;
+    return nc;
+}
+
+// One Notay pairwise-matching pass (reference: PairwiseAMG
+// InitialPairwiseAggregation, host_matrix_csr.cpp): visit nodes in `order`;
+// each unmatched node pairs with its strongest negative unmatched neighbor
+// among couplings <= beta * (row's most negative off-diagonal), else stays
+// a singleton. new_id must be pre-filled with -1. Returns the pair count.
+int64_t rt_pairwise_match(int64_t m, const int64_t* indptr,
+                          const int32_t* indices, const double* data,
+                          double beta, const int64_t* order,
+                          int64_t* new_id) {
+    int64_t na = 0;
+    for (int64_t oi = 0; oi < m; ++oi) {
+        const int64_t i = order[oi];
+        if (new_id[i] != -1) continue;
+        const int64_t rs = indptr[i], re = indptr[i + 1];
+        double neg_min = 0.0;
+        for (int64_t p = rs; p < re; ++p)
+            if (indices[p] != i && data[p] < neg_min) neg_min = data[p];
+        int64_t best = -1;
+        double best_v = 0.0;
+        for (int64_t p = rs; p < re; ++p) {
+            const int64_t j = indices[p];
+            const double v = data[p];
+            if (j != i && new_id[j] == -1 && v < 0.0 &&
+                v <= beta * neg_min && v < best_v) {
+                best = j;
+                best_v = v;
+            }
+        }
+        new_id[i] = na;
+        if (best >= 0) new_id[best] = na;
+        ++na;
+    }
+    return na;
 }
 
 // MatrixMarket coordinate body parser: reads `nnz` lines of

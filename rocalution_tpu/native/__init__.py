@@ -73,6 +73,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         i64p, i64p, f64p, f64p,
     ]
+    lib.rt_greedy_aggregate.restype = ctypes.c_int64
+    lib.rt_greedy_aggregate.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    lib.rt_pairwise_match.restype = ctypes.c_int64
+    lib.rt_pairwise_match.argtypes = [
+        ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double, i64p, i64p,
+    ]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.rt_rs_coarsening.restype = ctypes.c_int64
+    lib.rt_rs_coarsening.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, i32p, ctypes.c_int, i8p,
+    ]
     return lib
 
 
@@ -150,6 +161,60 @@ def ilut(indptr: np.ndarray, cols: np.ndarray, data: np.ndarray,
     lr, lc, lv = unpack(l_cols, l_vals, l_cnt, max_fill)
     ur, uc, uv = unpack(u_cols, u_vals, u_cnt, max_fill + 1)
     return lr, lc, lv, ur, uc, uv
+
+
+def greedy_aggregate(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Vanek greedy aggregation over a strength graph (native sweep —
+    reference AMGGreedyAggregate). Returns agg ids in [0, n_agg)."""
+    lib = get_lib()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    agg = np.full(n, -1, np.int64)
+    lib.rt_greedy_aggregate(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(agg, ctypes.c_int64),
+    )
+    return agg
+
+
+def pairwise_match(indptr: np.ndarray, indices: np.ndarray,
+                   data: np.ndarray, beta: float,
+                   order: np.ndarray) -> Tuple[np.ndarray, int]:
+    """One Notay pairwise matching pass (native sweep). Returns
+    (new_id, n_pairs)."""
+    lib = get_lib()
+    m = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    order = np.ascontiguousarray(order, np.int64)
+    new_id = np.full(m, -1, np.int64)
+    na = lib.rt_pairwise_match(
+        m, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), float(beta),
+        _ptr(order, ctypes.c_int64), _ptr(new_id, ctypes.c_int64),
+    )
+    return new_id, int(na)
+
+
+def rs_coarsening(s_indptr, s_indices, st_indptr, st_indices,
+                  cf_init: np.ndarray, second_pass: bool = True) -> np.ndarray:
+    """Classical greedy Ruge-Stueben C/F splitting (native sweep).
+    cf_init: int8, 0 undecided / 2 pre-forced F. Returns cf (1=C, 2=F)."""
+    lib = get_lib()
+    n = len(s_indptr) - 1
+    s_indptr = np.ascontiguousarray(s_indptr, np.int64)
+    s_indices = np.ascontiguousarray(s_indices, np.int32)
+    st_indptr = np.ascontiguousarray(st_indptr, np.int64)
+    st_indices = np.ascontiguousarray(st_indices, np.int32)
+    cf = np.ascontiguousarray(cf_init, np.int8).copy()
+    lib.rt_rs_coarsening(
+        n, _ptr(s_indptr, ctypes.c_int64), _ptr(s_indices, ctypes.c_int32),
+        _ptr(st_indptr, ctypes.c_int64), _ptr(st_indices, ctypes.c_int32),
+        int(second_pass), _ptr(cf, ctypes.c_int8),
+    )
+    return cf
 
 
 def mtx_body(path: str, header_offset: int, nnz: int,

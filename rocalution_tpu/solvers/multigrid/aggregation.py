@@ -72,7 +72,16 @@ def greedy_aggregate(C) -> np.ndarray:
     aggregate with it; pass 2: leftovers join an adjacent aggregate;
     pass 3: remaining leftovers seed their own aggregates.
     Returns agg[i] in [0, n_agg) (isolated nodes get singletons).
+
+    The sweep is inherently sequential (each decision depends on all
+    previous ones); it runs in the native C++ layer when available —
+    the analog of the reference's host aggregation kernel — with this
+    per-node Python loop as fallback.
     """
+    from ... import native
+
+    if native.available():
+        return native.greedy_aggregate(C.indptr, C.indices)
     n = C.shape[0]
     agg = np.full(n, -1, np.int64)
     na = 0
@@ -131,37 +140,58 @@ def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
         knocked = np.zeros(n, bool)
         knocked[C2[idx].indices] = True
         candidate &= ~knocked
-    for a, r in enumerate(roots):
-        agg[r] = a
-    # neighbors of roots join the root's aggregate
-    for a, r in enumerate(roots):
-        nbr = C.indices[C.indptr[r]:C.indptr[r + 1]]
-        free = nbr[agg[nbr] == -1]
-        agg[free] = a
-    # leftovers: join any adjacent aggregate, else singleton
+    roots = np.asarray(roots, np.int64)
+    agg[roots] = np.arange(len(roots))
+    # neighbors of roots join a root's aggregate (vectorized scatter; on a
+    # conflict any adjacent root is valid — last write wins)
+    root_deg = (C.indptr[roots + 1] - C.indptr[roots]).astype(np.int64)
+    if root_deg.sum():
+        nbr = _gather_rows(C, roots)
+        owner = np.repeat(np.arange(len(roots)), root_deg)
+        free = agg[nbr] == -1
+        agg[nbr[free]] = owner[free]
+    # leftovers: join any adjacent aggregate, else singleton (vectorized:
+    # per-row max of neighbor agg ids — any assigned neighbor is valid)
     na = len(roots)
     for _ in range(3):
-        left = np.where(agg == -1)[0]
-        if not len(left):
+        left = agg == -1
+        if not left.any():
             break
-        for i in left:
-            nbr = C.indices[C.indptr[i]:C.indptr[i + 1]]
-            assigned = nbr[agg[nbr] != -1]
-            if len(assigned):
-                agg[i] = agg[assigned[0]]
-    for i in np.where(agg == -1)[0]:
-        agg[i] = na
-        na += 1
+        nbr_agg = np.full(n, -1, np.int64)
+        ne = np.diff(C.indptr) > 0
+        if C.nnz:
+            red = np.maximum.reduceat(agg[C.indices], C.indptr[:-1][ne])
+            nbr_agg[ne] = red
+        join = left & (nbr_agg != -1)
+        if not join.any():
+            break
+        agg[join] = nbr_agg[join]
+    left = np.flatnonzero(agg == -1)
+    agg[left] = na + np.arange(len(left))
     return agg
 
 
+def _gather_rows(C, rows) -> np.ndarray:
+    """Concatenate the column indices of the given CSR rows (vectorized)."""
+    deg = (C.indptr[rows + 1] - C.indptr[rows]).astype(np.int64)
+    total = int(deg.sum())
+    out_start = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(total) - np.repeat(out_start[:-1], deg)
+    src = np.repeat(C.indptr[rows].astype(np.int64), deg) + pos
+    return C.indices[src]
+
+
 def _aggregate(C, strategy: str, seed: int) -> np.ndarray:
-    """Pick the aggregation pass: sequential greedy (Vanek parity) for
-    small setups, vectorized PMIS at scale ("auto" switches at 5000 rows —
-    the reference similarly keeps Greedy and PMIS as selectable
-    strategies, smoothed_amg.hpp SetCoarseningStrategy)."""
+    """Pick the aggregation pass: sequential greedy (Vanek parity — the
+    reference default) when the native C++ sweep is available, else greedy
+    for small setups and vectorized PMIS at scale (the reference similarly
+    keeps Greedy and PMIS as selectable strategies,
+    smoothed_amg.hpp SetCoarseningStrategy)."""
     if strategy == "auto":
-        strategy = "greedy" if C.shape[0] <= 5000 else "pmis"
+        from ... import native
+
+        fast_greedy = native.available() or C.shape[0] <= 5000
+        strategy = "greedy" if fast_greedy else "pmis"
     if strategy == "greedy":
         return greedy_aggregate(C)
     return pmis_aggregate(C, seed)
@@ -241,35 +271,44 @@ def pairwise_level(A: CSR, *, beta: float = 0.25, npass: int = 2,
     n = S.shape[0]
     agg = np.arange(n)
     cur = S
+    from ... import native
+
     for _ in range(npass):
         m = cur.shape[0]
-        pair = np.full(m, -1, np.int64)
-        na = 0
         indptr, indices, data = cur.indptr, cur.indices, cur.data
-        # match each unpaired node with its strongest negative neighbor
-        neg_min = np.zeros(m)
-        for i in range(m):
-            sl = slice(indptr[i], indptr[i + 1])
-            offs = indices[sl] != i
-            if offs.any():
-                neg_min[i] = data[sl][offs].min()
-        order = np.argsort(np.diff(indptr))   # fewest neighbors first
-        new_id = np.full(m, -1, np.int64)
-        for i in order:
-            if new_id[i] != -1:
-                continue
-            sl = slice(indptr[i], indptr[i + 1])
-            cols, vals = indices[sl], data[sl]
-            mask = (cols != i) & (new_id[cols] == -1) & (
-                vals <= beta * neg_min[i]
-            ) & (vals < 0)
-            if mask.any():
-                j = cols[mask][np.argmin(vals[mask])]
-                new_id[i] = na
-                new_id[j] = na
-            else:
-                new_id[i] = na
-            na += 1
+        order = np.argsort(np.diff(indptr),
+                           kind="stable")   # fewest neighbors first
+        if native.available():
+            # the matching sweep is sequential (each pairing blocks its
+            # partner) -> native C++ layer, like greedy aggregation
+            new_id, na = native.pairwise_match(
+                indptr, indices, data.astype(np.float64), beta, order
+            )
+        else:
+            # match each unpaired node with its strongest negative neighbor
+            neg_min = np.zeros(m)
+            for i in range(m):
+                sl = slice(indptr[i], indptr[i + 1])
+                offs = indices[sl] != i
+                if offs.any():
+                    neg_min[i] = min(data[sl][offs].min(), 0.0)
+            new_id = np.full(m, -1, np.int64)
+            na = 0
+            for i in order:
+                if new_id[i] != -1:
+                    continue
+                sl = slice(indptr[i], indptr[i + 1])
+                cols, vals = indices[sl], data[sl]
+                mask = (cols != i) & (new_id[cols] == -1) & (
+                    vals <= beta * neg_min[i]
+                ) & (vals < 0)
+                if mask.any():
+                    j = cols[mask][np.argmin(vals[mask])]
+                    new_id[i] = na
+                    new_id[j] = na
+                else:
+                    new_id[i] = na
+                na += 1
         agg = new_id[agg]
         Pl = sp.csr_matrix(
             (np.ones(m, S.dtype), (np.arange(m), new_id)), shape=(m, na)

@@ -64,6 +64,60 @@ def laplacian_3d(n: int, dtype=None) -> CSR:
     )
 
 
+def convection_diffusion_2d(n: int, peclet: float = 20.0, dtype=None) -> CSR:
+    """Nonsymmetric 2D convection-diffusion operator (5-point diffusion +
+    first-order upwind convection, Dirichlet), N = n^2 unknowns.
+
+    The canonical nonsymmetric target for GMRES/BiCGStab + ILU benchmarks
+    (reference solves arbitrary nonsymmetric systems through the same
+    GMRES/ILU stack, clients/samples/gmres.cpp)."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    N = n * n
+    h = 1.0 / (n + 1)
+    bx, by = peclet, 0.5 * peclet          # constant convection field
+    idx = np.arange(N, dtype=np.int64)
+    ix = idx % n
+    iy = idx // n
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask])
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    diag = 4.0 + h * (abs(bx) + abs(by))
+    add(np.ones(N, dtype=bool), idx, idx, diag)
+    add(ix > 0, idx, idx - 1, -1.0 - h * max(bx, 0.0))
+    add(ix < n - 1, idx, idx + 1, -1.0 + h * min(bx, 0.0))
+    add(iy > 0, idx, idx - n, -1.0 - h * max(by, 0.0))
+    add(iy < n - 1, idx, idx + n, -1.0 + h * min(by, 0.0))
+    return CSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (N, N)
+    )
+
+
+def random_banded_spd(n: int, nnz_per_row: int = 7, bandwidth: int = 8192,
+                      seed: int = 0, dtype=None) -> CSR:
+    """Random SPD matrix with scattered columns inside a band — the stand-in
+    for an RCM-reordered SuiteSparse matrix (unstructured sparsity, bounded
+    bandwidth). Diagonally dominant."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+    d = rng.integers(-bandwidth, bandwidth + 1, size=rows.shape[0])
+    cols = np.clip(rows + d, 0, n - 1)
+    vals = rng.standard_normal(rows.shape[0]).astype(dtype)
+    r = np.concatenate([rows, cols])
+    c = np.concatenate([cols, rows])
+    v = np.concatenate([vals, vals])
+    dom = np.zeros(n, dtype=np.float64)
+    np.add.at(dom, r, np.abs(v).astype(np.float64))
+    r = np.concatenate([r, np.arange(n)])
+    c = np.concatenate([c, np.arange(n)])
+    v = np.concatenate([v, (dom + 1.0).astype(dtype)])
+    return CSR.from_coo(r, c, v, (n, n))
+
+
 def permuted_identity(n: int, seed: int = 0, dtype=None) -> CSR:
     """Random permutation matrix (reference bench matrix_init 'permuted_identity',
     clients/benchmarks/rocalution_enum_matrix_init.hpp:33-36)."""

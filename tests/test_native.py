@@ -72,3 +72,31 @@ def test_mtx_native_parse(tmp_path):
     B = read_mtx(p)
     np.testing.assert_allclose(
         np.asarray(B.to_dense()), np.asarray(A.to_dense()), rtol=1e-12)
+
+
+def _no_native(monkeypatch):
+    monkeypatch.setattr(native, "available", lambda: False)
+
+
+def test_greedy_aggregate_parity(monkeypatch, rng):
+    from rocalution_tpu.solvers.multigrid import aggregation as ag
+
+    A = rt.laplacian_2d(20, dtype=np.float64)
+    C = ag.strength_connect(ag._scipy(A))
+    a_native = ag.greedy_aggregate(C)
+    _no_native(monkeypatch)
+    a_numpy = ag.greedy_aggregate(C)
+    np.testing.assert_array_equal(a_native, a_numpy)
+
+
+def test_pairwise_parity(monkeypatch, rng):
+    from rocalution_tpu.solvers.multigrid import aggregation as ag
+
+    A = rt.laplacian_2d(20, dtype=np.float64)
+    P1, R1, Ac1 = ag.pairwise_level(A, npass=2)
+    _no_native(monkeypatch)
+    P2, R2, Ac2 = ag.pairwise_level(A, npass=2)
+    np.testing.assert_allclose(
+        np.asarray(P1.to_dense()), np.asarray(P2.to_dense()), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(Ac1.to_dense()), np.asarray(Ac2.to_dense()), atol=1e-14)
