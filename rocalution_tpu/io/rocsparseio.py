@@ -1,0 +1,145 @@
+"""rocsparseio-compatible binary container reader/writer.
+
+Interoperability with files produced by the reference's versioned binary
+sparse-matrix container (src/utils/rocsparseio.{h,hpp,cpp}; used by
+LocalMatrix::WriteFileCSR/ReadFileCSR since rocALUTION 3.0, CHANGELOG.md).
+The byte layout below is dictated by that file format:
+
+* file header: 16 bytes = two little-endian uint64 words holding the
+  zero-padded ASCII string ``ROCSPARSEIO.<major>`` (open(), version guard);
+* each stored object starts with a 512-byte name field
+  (``rocsparseio_string``, rocsparseio.h:47);
+* CSX object (format enum 2, rocsparseio.h:116): 9 uint64 scalars
+  [format, direction, m, n, nnz, ptr_type, ind_type, data_type, base]
+  then three arrays (ptr: m+1 or n+1 by direction; ind: nnz; data: nnz);
+* COO object (format enum 4): 8 uint64 scalars
+  [format, m, n, nnz, row_ind_type, col_ind_type, data_type, base]
+  then three arrays (row_ind, col_ind, data: nnz each);
+* every array is prefixed by two uint64 words (element size, count)
+  followed by the raw elements (fwrite_array, rocsparseio.hpp:761-769).
+
+Type enum (rocsparseio.h:106-112): 0=int32 1=int64 2=f32 3=f64
+4=complex<f32> 5=complex<f64> 6=int8.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..formats import CSR
+
+VERSION_MAJOR = 1
+
+_FMT_DENSE_VECTOR = 0
+_FMT_SPARSE_CSX = 2
+_FMT_SPARSE_COO = 4
+
+_TYPE_TO_DTYPE = {
+    0: np.dtype("<i4"), 1: np.dtype("<i8"),
+    2: np.dtype("<f4"), 3: np.dtype("<f8"),
+    4: np.dtype("<c8"), 5: np.dtype("<c16"),
+    6: np.dtype("i1"),
+}
+_DTYPE_TO_TYPE = {v: k for k, v in _TYPE_TO_DTYPE.items()}
+
+_NAME_BYTES = 512
+
+
+def _header_words() -> bytes:
+    s = f"ROCSPARSEIO.{VERSION_MAJOR}".encode()
+    return s + b"\0" * (16 - len(s))
+
+
+def _read_u64(f, n=1):
+    raw = f.read(8 * n)
+    if len(raw) != 8 * n:
+        raise ValueError("rocsparseio: truncated file")
+    vals = struct.unpack(f"<{n}Q", raw)
+    return vals[0] if n == 1 else vals
+
+
+def _write_u64(f, *vals):
+    f.write(struct.pack(f"<{len(vals)}Q", *vals))
+
+
+def _read_array(f, dtype):
+    size, nmemb = _read_u64(f, 2)
+    if size != dtype.itemsize:
+        raise ValueError(
+            f"rocsparseio: array element size {size} != dtype {dtype}"
+        )
+    a = np.fromfile(f, dtype=dtype, count=nmemb)
+    if len(a) != nmemb:
+        raise ValueError("rocsparseio: truncated array")
+    return a
+
+
+def _write_array(f, a):
+    a = np.ascontiguousarray(a)
+    _write_u64(f, a.dtype.itemsize, a.size)
+    a.tofile(f)
+
+
+def read_rocsparseio(path: str) -> CSR:
+    """Read a reference-produced rocsparseio file into a CSR pytree
+    (reference: LocalMatrix::ReadFileCSR → rocsparseio_read_sparse_csx;
+    COO payloads are converted)."""
+    with open(path, "rb") as f:
+        if f.read(16) != _header_words():
+            raise ValueError(f"{path}: not a rocsparseio v{VERSION_MAJOR} file")
+        f.read(_NAME_BYTES)  # object name (informational)
+        fmt = _read_u64(f)
+        if fmt == _FMT_SPARSE_CSX:
+            direction, m, n, nnz, ptr_t, ind_t, dat_t, base = _read_u64(f, 8)
+            ptr = _read_array(f, _TYPE_TO_DTYPE[int(ptr_t)])
+            ind = _read_array(f, _TYPE_TO_DTYPE[int(ind_t)]) - int(base)
+            data = _read_array(f, _TYPE_TO_DTYPE[int(dat_t)])
+            if direction == 1:  # CSC: transpose to CSR
+                from scipy.sparse import csc_matrix
+
+                A = csc_matrix((data, ind, ptr - int(base)),
+                               shape=(m, n)).tocsr()
+                return CSR.from_arrays(A.data, A.indices, A.indptr, (m, n))
+            return CSR.from_arrays(data, ind, ptr - int(base),
+                                   (int(m), int(n)))
+        if fmt == _FMT_SPARSE_COO:
+            m, n, nnz, row_t, col_t, dat_t, base = _read_u64(f, 7)
+            rows = _read_array(f, _TYPE_TO_DTYPE[int(row_t)]) - int(base)
+            cols = _read_array(f, _TYPE_TO_DTYPE[int(col_t)]) - int(base)
+            data = _read_array(f, _TYPE_TO_DTYPE[int(dat_t)])
+            order = np.lexsort((cols, rows))
+            indptr = np.zeros(int(m) + 1, np.int64)
+            np.add.at(indptr, rows + 1, 1)
+            indptr = np.cumsum(indptr)
+            return CSR.from_arrays(data[order], cols[order], indptr,
+                                   (int(m), int(n)))
+        raise ValueError(f"{path}: unsupported rocsparseio format {fmt}")
+
+
+def write_rocsparseio(path: str, A, name: str = "rocalution_tpu") -> None:
+    """Write a matrix as a rocsparseio CSX object the reference can read
+    (reference: LocalMatrix::WriteFileCSR → rocsparseio_write_sparse_csx)."""
+    from ..formats import to_csr
+    from ..formats.base import get_host
+
+    csr = to_csr(A)
+    data = np.asarray(get_host(csr, "data"))
+    ind = np.asarray(get_host(csr, "indices")).astype("<i4")
+    ptr = np.asarray(get_host(csr, "indptr")).astype("<i4")
+    m, n = csr.shape
+    dt = _DTYPE_TO_TYPE.get(data.dtype.newbyteorder("<"))
+    if dt is None:
+        data = data.astype("<f8")
+        dt = 3
+    with open(path, "wb") as f:
+        f.write(_header_words())
+        nm = name.encode()[: _NAME_BYTES - 1]
+        f.write(nm + b"\0" * (_NAME_BYTES - len(nm)))
+        _write_u64(f, _FMT_SPARSE_CSX, 0, m, n, len(data),
+                   _DTYPE_TO_TYPE[ptr.dtype], _DTYPE_TO_TYPE[ind.dtype],
+                   dt, 0)
+        _write_array(f, ptr)
+        _write_array(f, ind)
+        _write_array(f, data)

@@ -66,10 +66,14 @@ def test_vector_io(tmp_path, rng):
     np.testing.assert_allclose(read_vector(pa, binary=False), v, rtol=1e-12)
 
 
-def test_global_layout(tmp_path):
-    from rocalution_tpu.parallel import distribute_csr
+def test_global_layout_roundtrip(tmp_path):
+    """write_global_csr -> read_global_csr -> dist_solve produces identical
+    iterates (reference: samples/global-io_mpi.cpp flow — write the triad,
+    read it back, solve)."""
+    from rocalution_tpu.io import read_global_csr
+    from rocalution_tpu.parallel import dist_solve, distribute_csr
 
-    A = rt.laplacian_2d(8)
+    A = rt.laplacian_2d(16)
     Ag = distribute_csr(A, 4)
     prefix = str(tmp_path / "dist")
     write_global_csr(prefix, Ag)
@@ -79,4 +83,97 @@ def test_global_layout(tmp_path):
     meta = json.load(open(prefix + ".pm.json"))
     assert meta["nparts"] == 4
     for p in range(4):
-        assert os.path.exists(f"{prefix}.interior.rank.{p}.npz")
+        assert os.path.exists(f"{prefix}.matrix.rank.{p}.npz")
+        assert os.path.exists(f"{prefix}.pm.rank.{p}.npz")
+
+    Ag2 = read_global_csr(prefix)
+    assert Ag2.mode == Ag.mode and Ag2.shifts == Ag.shifts
+    for f in ("int_data", "int_cols", "ghost_data", "ghost_cols",
+              "send_idx", "recv_idx", "send_off"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(Ag2, f)), np.asarray(getattr(Ag, f))
+        )
+
+    b = np.ones(A.shape[0])
+    x1, info1 = dist_solve(rt.cg, Ag, b, rel_tol=1e-10, max_iter=400)
+    x2, info2 = dist_solve(rt.cg, Ag2, b, rel_tol=1e-10, max_iter=400)
+    assert int(info1.iterations) == int(info2.iterations)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_rocsparseio_roundtrip(tmp_path):
+    """rocsparseio-compatible container: byte layout validated against the
+    reference implementation itself (a file written by the reference's
+    rocsparseio.cpp parses identically; a file written here is read back by
+    the reference's rocsparseiox_read_sparse_csx — verified during
+    development). Reference: src/utils/rocsparseio.{h,hpp,cpp}."""
+    from rocalution_tpu.io import read_rocsparseio, write_rocsparseio
+
+    A = rt.laplacian_2d(9)
+    path = str(tmp_path / "m.rsio")
+    write_rocsparseio(path, A)
+    B = read_rocsparseio(path)
+    d1, i1, p1 = A.numpy_triplet()
+    d2, i2, p2 = B.numpy_triplet()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=0)
+    assert A.shape == B.shape
+
+
+def test_rocsparseio_reference_layout(tmp_path):
+    """Parse a byte-exact reference-layout file assembled by hand (header,
+    512-byte name, 9 uint64 scalars, size/count-prefixed arrays)."""
+    import struct
+
+    from rocalution_tpu.io import read_rocsparseio
+
+    path = str(tmp_path / "ref.rsio")
+    ptr = np.array([0, 2, 3, 5], "<i4")
+    ind = np.array([0, 2, 1, 0, 2], "<i4")
+    val = np.array([4.0, -1.0, 3.0, -1.5, 5.0], "<f8")
+    with open(path, "wb") as f:
+        f.write(b"ROCSPARSEIO.1" + b"\0" * 3)
+        f.write(b"fixture" + b"\0" * 505)
+        f.write(struct.pack("<9Q", 2, 0, 3, 3, 5, 0, 0, 3, 0))
+        for a in (ptr, ind, val):
+            f.write(struct.pack("<2Q", a.dtype.itemsize, a.size))
+            f.write(a.tobytes())
+    B = read_rocsparseio(path)
+    d, i, p = B.numpy_triplet()
+    np.testing.assert_array_equal(np.asarray(p), ptr)
+    np.testing.assert_array_equal(np.asarray(i), ind)
+    np.testing.assert_allclose(np.asarray(d), val, atol=0)
+
+
+def test_bench_regression_script(tmp_path):
+    """scripts/bench_regression.py (reference:
+    scripts/rocalution-bench-regression.py % tolerance compare)."""
+    import json
+    import subprocess
+    import sys
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({
+        "metric": "spmv_csr_f32_bandwidth", "value": 100.0,
+        "detail": {"axpy_gbps": 3000.0, "cg_jacobi_65k_ms": 50.0},
+    }))
+    new.write_text(json.dumps({
+        "metric": "spmv_csr_f32_bandwidth", "value": 99.0,
+        "detail": {"axpy_gbps": 3010.0, "cg_jacobi_65k_ms": 52.0},
+    }))
+    import os
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "bench_regression.py")
+    ok = subprocess.run([sys.executable, script, str(old), str(new),
+                         "--tol", "10"], capture_output=True)
+    assert ok.returncode == 0, ok.stdout
+    new.write_text(json.dumps({
+        "metric": "spmv_csr_f32_bandwidth", "value": 50.0,
+        "detail": {"axpy_gbps": 3010.0, "cg_jacobi_65k_ms": 52.0},
+    }))
+    bad = subprocess.run([sys.executable, script, str(old), str(new),
+                          "--tol", "10"], capture_output=True)
+    assert bad.returncode == 1
+    assert b"REGRESSION" in bad.stdout
