@@ -29,7 +29,6 @@ base_time = None
 for nparts in [p for p in (1, 2, 4, 8) if p <= max_parts]:
     # global grid grows with partitions: rows scale linearly
     ny = local_n * nparts
-    A = rt.laplacian_2d(local_n)  # placeholder to size rows
     import scipy.sparse as sp
 
     I = sp.eye(local_n)
