@@ -1,9 +1,14 @@
 """Benchmark harness (reference methodology: clients/samples/benchmark.cpp,
 clients/benchmarks/rocalution_bench_solver_results.hpp:33-78).
 
-Prints ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Emits the headline JSON line on stdout after EVERY completed section
+(flushed, one line each, monotonically growing `detail`) so a timeout kill
+still leaves a parseable artifact — the last complete line is the record.
 Per-op details go to stderr.
+
+Wall-time budget: sections are ordered headline-first and gated on the
+remaining budget (BENCH_BUDGET_S env, default 420 s); known-collapsed
+formats run last on a 65k matrix so they cannot starve the record.
 
 Measurement protocol (shaped by measured platform behavior):
 * `jax.block_until_ready` returns at ENQUEUE on this tunnel, so every
@@ -25,6 +30,11 @@ detected chip's HBM roofline (BASELINE.md north star). DIA is additionally
 reported with its OWN byte model (values + x + y, no index bytes) so its
 number can never exceed the physical roofline.
 
+f64 CSR rides the float-float WJD kernel (values split into hi+lo f32 with
+a compensated accumulator — see ops/pallas/spmv_wjd.py); byte model uses the
+true f64 storage (8+4 B/nnz) like the reference's native-double csrmv
+(hip_matrix_csr.cpp:1215-1276).
+
 End-to-end solver rows follow the reference bench results struct
 (time_analyze = host setup/factorization, time_solve = device solve):
 GMRES(30)+ILU(0) to 1e-8 on nonsymmetric convection-diffusion, CG+IC(0) to
@@ -32,10 +42,19 @@ GMRES(30)+ILU(0) to 1e-8 on nonsymmetric convection-diffusion, CG+IC(0) to
 """
 
 import json
+import os
 import sys
 import time
+import traceback
 
 import numpy as np
+
+T_START = time.monotonic()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def time_left() -> float:
+    return BUDGET - (time.monotonic() - T_START)
 
 
 def hbm_gbps(kind: str) -> float:
@@ -69,11 +88,46 @@ def main():
     isize = 4
     vsize = np.dtype(dtype).itemsize
 
-    def chain_time(step, x0, K_max=20000, trials=3, budget_s=0.25):
+    results = {}
+    sections = []
+
+    def emit(section):
+        """Print the (updated) headline JSON line — one line per section."""
+        sections.append(section)
+        value = results.get("spmv_csr_gbps", 0.0)
+        baseline = 0.8 * roof
+        print(json.dumps({
+            "metric": "spmv_csr_f32_bandwidth",
+            "value": round(value, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(value / baseline, 4),
+            "detail": {k: round(v, 3) for k, v in results.items()},
+            "roofline_gbps": roof,
+            "sections": list(sections),
+            "elapsed_s": round(time.monotonic() - T_START, 1),
+        }), flush=True)
+
+    def section(name, min_budget_s, fn):
+        """Run one bench section, budget-gated and crash-isolated."""
+        if time_left() < min_budget_s:
+            log(f"[skip] {name}: {time_left():.0f}s left < {min_budget_s}s")
+            return
+        t0 = time.monotonic()
+        try:
+            fn()
+            log(f"[done] {name} ({time.monotonic() - t0:.1f}s, "
+                f"{time_left():.0f}s left)")
+            emit(name)
+        except Exception:
+            log(f"[FAIL] {name}:")
+            traceback.print_exc(file=sys.stderr)
+
+    def chain_time(step, x0, K_max=20000, trials=3, budget_s=0.25, probe=66):
         """Time one application of `step` (x -> x) via a dependent chain:
         (t_2K - t_K)/K with forced host reads. The rep count is a TRACED
         fori_loop bound, so one compile serves every K; K adapts so one
-        trial stays within `budget_s`."""
+        trial stays within `budget_s`. `probe` is the chain length of the
+        initial estimation run — keep it small for known-slow ops."""
         @jax.jit
         def run(v, k):
             out = jax.lax.fori_loop(0, k, lambda i, c: step(c), v)
@@ -85,8 +139,7 @@ def main():
             return time.perf_counter() - t0
 
         float(run(x0, 2))                  # compile
-        # overhead-cancelling estimate: (t(66) - t(2)) / 64
-        est = max((timed(66) - timed(2)) / 64, 1e-9)
+        est = max((timed(probe) - timed(2)) / (probe - 2), 1e-9)
         K = int(max(2, min(K_max, budget_s / est)))
 
         timed(K); timed(2 * K)             # warm
@@ -106,23 +159,14 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, int(iters), float(res)
 
-    results = {}
-
-    # ================= SpMV: structured (3D Laplacian, 1M rows) ==========
+    # ============ 1. headline: WJD CSR SpMV (3D Laplacian, 1M rows) ======
     n = 100  # 1e6 rows, ~6.94M nnz
     A = rt.laplacian_3d(n, dtype=dtype)
     nnz = A.nnz
     N = A.shape[0]
     log(f"matrix: laplacian_3d({n})  N={N}  nnz={nnz}  dtype={np.dtype(dtype).name}")
-
-    t0 = time.perf_counter()
-    attach_wjd(A)                     # the csrmv-analysis stage
-    results["wjd_analyze_ms"] = (time.perf_counter() - t0) * 1e3
-
-    mats = {"csr": A}
-    for fmt in ("ELL", "DIA", "HYB", "BCSR"):
-        mats[fmt.lower()] = rt.convert(A, fmt)
-    log("formats converted (host-side)")
+    spmv_bytes = (vsize + isize) * nnz
+    scale = np.float32(1.0 / 12.0)   # keep the chained iterate bounded
 
     x = jax.device_put(
         (np.random.default_rng(0).standard_normal(N) / N).astype(dtype)
@@ -131,61 +175,77 @@ def main():
         np.random.default_rng(1).standard_normal(N).astype(dtype)
     )
 
-    # --- BLAS-1 (reference formulas, benchmark.cpp:104-206) ---
-    t_axpy = chain_time(lambda c: c + np.float32(1e-6) * y, x)
-    results["axpy_gbps"] = 3 * N * vsize / t_axpy / 1e9
-    t_dotaxpy = chain_time(
-        lambda c: c + (np.float32(1e-12) * jnp.dot(c, y)) * y, x
-    )
-    results["dot_axpy_gbps"] = 5 * N * vsize / t_dotaxpy / 1e9
-    t_normaxpy = chain_time(
-        lambda c: c + (np.float32(1e-12) * jnp.sqrt(jnp.dot(c, c))) * y, x
-    )
-    results["norm_axpy_gbps"] = 5 * N * vsize / t_normaxpy / 1e9
+    def sec_wjd_csr():
+        t0 = time.perf_counter()
+        attach_wjd(A)                 # the csrmv-analysis stage
+        results["wjd_analyze_ms"] = (time.perf_counter() - t0) * 1e3
+        t = chain_time(lambda c: spmv(A, c) * scale, x)
+        results["spmv_csr_gbps"] = spmv_bytes / t / 1e9
+        results["spmv_csr_gflops"] = 2 * nnz / t / 1e9
+        log(f"  spmv[csr/wjd] {t*1e6:9.1f} us/op")
 
-    # --- SpMV per format (bytes = (vsize+isize)*nnz, reference formula) ---
-    spmv_bytes = (vsize + isize) * nnz
-    scale = np.float32(1.0 / 12.0)   # keep the chained iterate bounded
-    for name, B in mats.items():
-        t = chain_time(lambda c, B=B: spmv(B, c) * scale, x)
-        results[f"spmv_{name}_gbps"] = spmv_bytes / t / 1e9
-        results[f"spmv_{name}_gflops"] = 2 * nnz / t / 1e9
-        log(f"  spmv[{name}] {t*1e6:9.1f} us/op")
-        if name == "dia":
-            # DIA's own byte model: values + x read + y write, no indices
-            ndiag = B.data.shape[0] if B.data.ndim == 2 else B.data.shape[1]
-            own = vsize * (ndiag * N + 2 * N)
-            results["spmv_dia_own_model_gbps"] = own / t / 1e9
+    section("wjd_csr", 0, sec_wjd_csr)
 
-    # XLA gather-based CSR path (what round 1 shipped) for comparison
-    A_xla = rt.laplacian_3d(n, dtype=dtype)
-    t = chain_time(lambda c: spmv(A_xla, c) * scale, x, budget_s=0.1)
-    results["spmv_csr_xla_gbps"] = spmv_bytes / t / 1e9
-    log(f"  spmv[csr_xla] {t*1e6:9.1f} us/op")
+    # ============ 2. DIA (same matrix, own byte model too) ===============
+    def sec_dia():
+        B = rt.convert(A, "DIA")
+        t = chain_time(lambda c: spmv(B, c) * scale, x)
+        results["spmv_dia_gbps"] = spmv_bytes / t / 1e9
+        results["spmv_dia_gflops"] = 2 * nnz / t / 1e9
+        ndiag = B.data.shape[0] if B.data.ndim == 2 else B.data.shape[1]
+        own = vsize * (ndiag * N + 2 * N)
+        results["spmv_dia_own_model_gbps"] = own / t / 1e9
+        log(f"  spmv[dia] {t*1e6:9.1f} us/op")
 
-    # --- f64 CSR SpMV (emulated on TPU — honest number, XLA path) ---
-    A64 = rt.laplacian_3d(64, dtype=np.float64)
-    N64, nnz64 = A64.shape[0], A64.nnz
-    x64 = jax.device_put(
-        (np.random.default_rng(2).standard_normal(N64) / N64)
-    )
-    t = chain_time(lambda c: spmv(A64, c) * np.float64(1 / 12.0), x64,
-                   budget_s=0.1)
-    results["spmv_csr_f64_gbps"] = (8 + isize) * nnz64 / t / 1e9
-    log(f"  spmv[csr f64] {t*1e6:9.1f} us/op (emulated f64)")
+    section("dia", 30, sec_dia)
 
-    # ============ SpMV: unstructured (banded random SPD, 1M rows) ========
-    Ar = rt.random_banded_spd(1_000_000, dtype=dtype)
-    attach_wjd(Ar)
-    xr = jax.device_put(
-        (np.random.default_rng(3).standard_normal(Ar.shape[0]) / 1e6).astype(dtype)
-    )
-    t = chain_time(lambda c: spmv(Ar, c) * scale, xr)
-    results["spmv_csr_rand_gbps"] = (vsize + isize) * Ar.nnz / t / 1e9
-    log(f"  spmv[csr rand-band] {t*1e6:9.1f} us/op nnz={Ar.nnz}")
+    # ============ 3. f64 CSR SpMV (float-float WJD kernel) ===============
+    def sec_f64():
+        A64 = rt.laplacian_3d(64, dtype=np.float64)   # 262k rows, 1.8M nnz
+        attach_wjd(A64)
+        N64, nnz64 = A64.shape[0], A64.nnz
+        x64 = jax.device_put(
+            np.random.default_rng(2).standard_normal(N64) / N64
+        )
+        t = chain_time(lambda c: spmv(A64, c) * np.float64(1 / 12.0), x64,
+                       budget_s=0.1, probe=10)
+        results["spmv_csr_f64_gbps"] = (8 + isize) * nnz64 / t / 1e9
+        results["spmv_csr_f64_gflops"] = 2 * nnz64 / t / 1e9
+        log(f"  spmv[csr f64] {t*1e6:9.1f} us/op")
 
-    # ================= end-to-end solver rows =============================
-    # CG + Jacobi on 65k 2D Laplacian (DIA operator)
+    section("f64", 30, sec_f64)
+
+    # ============ 4. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
+    def sec_blas1():
+        t_axpy = chain_time(lambda c: c + np.float32(1e-6) * y, x)
+        results["axpy_gbps"] = 3 * N * vsize / t_axpy / 1e9
+        t_dotaxpy = chain_time(
+            lambda c: c + (np.float32(1e-12) * jnp.dot(c, y)) * y, x
+        )
+        results["dot_axpy_gbps"] = 5 * N * vsize / t_dotaxpy / 1e9
+        t_normaxpy = chain_time(
+            lambda c: c + (np.float32(1e-12) * jnp.sqrt(jnp.dot(c, c))) * y, x
+        )
+        results["norm_axpy_gbps"] = 5 * N * vsize / t_normaxpy / 1e9
+
+    section("blas1", 45, sec_blas1)
+
+    # ============ 5. unstructured (banded random SPD, 1M rows) ===========
+    def sec_rand():
+        Ar = rt.random_banded_spd(1_000_000, dtype=dtype)
+        attach_wjd(Ar)
+        xr = jax.device_put(
+            (np.random.default_rng(3).standard_normal(Ar.shape[0]) / 1e6)
+            .astype(dtype)
+        )
+        t = chain_time(lambda c: spmv(Ar, c) * scale, xr)
+        results["spmv_csr_rand_gbps"] = (vsize + isize) * Ar.nnz / t / 1e9
+        log(f"  spmv[csr rand-band] {t*1e6:9.1f} us/op nnz={Ar.nnz}")
+
+    section("rand_band", 40, sec_rand)
+
+    # ============ 6. end-to-end solver rows ==============================
+    # shared 65k 2D Laplacian operands
     A2 = rt.laplacian_2d(256, dtype=dtype)
     d2, i2, p2 = A2.numpy_triplet()
     rows2 = A2.numpy_rows()
@@ -196,115 +256,137 @@ def main():
     b2d, invd2d = jax.device_put(b2), jax.device_put(invd2)
     A2dia = rt.convert(A2, "DIA")
 
-    @jax.jit
-    def solve_cg_jacobi(b):
-        xs, info = rt.cg(A2dia, b, M=lambda r: invd2d * r,
-                         rel_tol=1e-6, max_iter=1000)
-        return jnp.sum(xs), info.iterations, info.final_res
+    def sec_cg_jacobi():
+        @jax.jit
+        def solve(b):
+            xs, info = rt.cg(A2dia, b, M=lambda r: invd2d * r,
+                             rel_tol=1e-6, max_iter=1000)
+            return jnp.sum(xs), info.iterations, info.final_res
 
-    best, iters, res = solve_time(solve_cg_jacobi, b2d)
-    results["cg_jacobi_65k_ms"] = best * 1e3
-    results["cg_jacobi_65k_iters"] = iters
-    log(f"cg+jacobi: iters={iters} final_res={res:.3e}")
+        best, iters, res = solve_time(solve, b2d)
+        results["cg_jacobi_65k_ms"] = best * 1e3
+        results["cg_jacobi_65k_iters"] = iters
+        log(f"cg+jacobi: iters={iters} final_res={res:.3e}")
 
-    # CG + IC(0) to 1e-8 (reference: testing_cg.hpp CG+IC smoke at rel 1e-8)
-    from rocalution_tpu.precond import ic
+    section("cg_jacobi", 45, sec_cg_jacobi)
 
-    t0 = time.perf_counter()
-    M_ic = ic(A2, method="jacobi", sweeps=8)
-    results["cg_ic0_65k_analyze_ms"] = (time.perf_counter() - t0) * 1e3
+    def sec_cg_ic():
+        from rocalution_tpu.precond import ic
 
-    @jax.jit
-    def solve_cg_ic(b):
-        xs, info = rt.cg(A2dia, b, M=M_ic, rel_tol=1e-8, max_iter=1000)
-        return jnp.sum(xs), info.iterations, info.final_res
+        t0 = time.perf_counter()
+        M_ic = ic(A2, method="jacobi", sweeps=8)
+        results["cg_ic0_65k_analyze_ms"] = (time.perf_counter() - t0) * 1e3
 
-    best, iters, res = solve_time(solve_cg_ic, b2d)
-    results["cg_ic0_65k_solve_ms"] = best * 1e3
-    results["cg_ic0_65k_iters"] = iters
-    log(f"cg+ic0: iters={iters} final_res={res:.3e}")
+        @jax.jit
+        def solve(b):
+            xs, info = rt.cg(A2dia, b, M=M_ic, rel_tol=1e-8, max_iter=1000)
+            return jnp.sum(xs), info.iterations, info.final_res
 
-    # GMRES(30) + ILU(0) to 1e-8 on nonsymmetric convection-diffusion
-    from rocalution_tpu.precond import ilu
+        best, iters, res = solve_time(solve, b2d)
+        results["cg_ic0_65k_solve_ms"] = best * 1e3
+        results["cg_ic0_65k_iters"] = iters
+        log(f"cg+ic0: iters={iters} final_res={res:.3e}")
 
-    Acd = rt.convection_diffusion_2d(192, dtype=dtype)      # 36.8k unknowns
-    bcd = jax.device_put(
-        np.random.default_rng(4).standard_normal(Acd.shape[0]).astype(dtype)
+    section("cg_ic0", 45, sec_cg_ic)
+
+    def sec_gmres_ilu():
+        from rocalution_tpu.precond import ilu
+
+        Acd = rt.convection_diffusion_2d(192, dtype=dtype)  # 36.8k unknowns
+        bcd = jax.device_put(
+            np.random.default_rng(4).standard_normal(Acd.shape[0])
+            .astype(dtype)
+        )
+        t0 = time.perf_counter()
+        M_ilu = ilu(Acd, 0, method="jacobi", sweeps=8)
+        results["gmres_ilu0_37k_analyze_ms"] = (time.perf_counter() - t0) * 1e3
+        attach_wjd(Acd)
+
+        @jax.jit
+        def solve(b):
+            xs, info = rt.gmres(Acd, b, M=M_ilu, basis_size=30,
+                                rel_tol=1e-8, max_iter=600)
+            return jnp.sum(xs), info.iterations, info.final_res
+
+        best, iters, res = solve_time(solve, bcd)
+        results["gmres_ilu0_37k_solve_ms"] = best * 1e3
+        results["gmres_ilu0_37k_iters"] = iters
+        log(f"gmres30+ilu0: iters={iters} final_res={res:.3e}")
+
+    section("gmres_ilu0", 45, sec_gmres_ilu)
+
+    def sec_amg():
+        from rocalution_tpu.solvers.multigrid import (amg_hierarchy,
+                                                      convert_hierarchy,
+                                                      cycle_closure)
+
+        A2h = rt.laplacian_2d(256, dtype=np.float64)  # setup wants f64 host
+        t0 = time.perf_counter()
+        hier = amg_hierarchy(A2h, "sa", coarse_size=300)
+        hier = convert_hierarchy(hier, dtype=np.float32)
+        results["amg_setup_ms"] = (time.perf_counter() - t0) * 1e3
+        M = cycle_closure(hier)
+
+        @jax.jit
+        def solve(b):
+            xs, info = rt.cg(hier.levels[0].A, b, M=M,
+                             rel_tol=1e-6, max_iter=200)
+            return jnp.sum(xs), info.iterations, info.final_res
+
+        best, iters, res = solve_time(solve, jax.device_put(b2))
+        results["cg_saamg_65k_ms"] = best * 1e3
+        results["cg_saamg_65k_iters"] = iters
+        log(f"cg+saamg: iters={iters} final_res={res:.3e} "
+            f"levels={hier.num_levels}")
+
+    section("cg_saamg", 60, sec_amg)
+
+    def sec_mpdc():
+        A1664 = rt.laplacian_2d(128, dtype=np.float64)      # 16k unknowns
+        b16 = np.random.default_rng(5).standard_normal(A1664.shape[0])
+
+        def run():
+            x_mp, info_mp = rt.mixed_precision_dc(
+                A1664, jnp.asarray(b16), rel_tol=1e-10, max_iter=20,
+                inner_kwargs={"rel_tol": 1e-4, "max_iter": 2000},
+            )
+            jax.block_until_ready(x_mp)
+            return info_mp
+
+        run()                              # compile + warm
+        t0 = time.perf_counter()
+        info_mp = run()
+        results["mpdc_16k_ms"] = (time.perf_counter() - t0) * 1e3
+        results["mpdc_16k_iters"] = int(info_mp.iterations)
+        log(f"mpdc: outer_iters={int(info_mp.iterations)} "
+            f"res={float(info_mp.final_res):.3e}")
+
+    section("mpdc", 40, sec_mpdc)
+
+    # ============ 7. remaining formats (65k matrix, gather paths) ========
+    # These run LAST: their XLA gather paths are the known-slow fallbacks
+    # (the fast route is WJD conversion, which solvers select for CSR).
+    nnz2 = A2.nnz
+    bytes2 = (vsize + isize) * nnz2
+    x2s = jax.device_put(
+        (np.random.default_rng(6).standard_normal(A2.shape[0]) / 256)
+        .astype(dtype)
     )
-    t0 = time.perf_counter()
-    M_ilu = ilu(Acd, 0, method="jacobi", sweeps=8)
-    results["gmres_ilu0_37k_analyze_ms"] = (time.perf_counter() - t0) * 1e3
-    attach_wjd(Acd)
 
-    @jax.jit
-    def solve_gmres_ilu(b):
-        xs, info = rt.gmres(Acd, b, M=M_ilu, basis_size=30,
-                            rel_tol=1e-8, max_iter=600)
-        return jnp.sum(xs), info.iterations, info.final_res
+    def slow_fmt(name):
+        def run():
+            B = rt.convert(A2, name.upper()) if name != "csr_xla" else A2
+            t = chain_time(lambda c: spmv(B, c) * scale, x2s,
+                           budget_s=0.05, probe=6, trials=2)
+            results[f"spmv_{name}_65k_gbps"] = bytes2 / t / 1e9
+            log(f"  spmv[{name}/65k] {t*1e6:9.1f} us/op")
+        return run
 
-    best, iters, res = solve_time(solve_gmres_ilu, bcd)
-    results["gmres_ilu0_37k_solve_ms"] = best * 1e3
-    results["gmres_ilu0_37k_iters"] = iters
-    log(f"gmres30+ilu0: iters={iters} final_res={res:.3e}")
-
-    # MixedPrecisionDC: f64 outer defect correction, f32 CG inner
-    A1664 = rt.laplacian_2d(128, dtype=np.float64)          # 16k unknowns
-    b16 = np.random.default_rng(5).standard_normal(A1664.shape[0])
-    t0 = time.perf_counter()
-    x_mp, info_mp = rt.mixed_precision_dc(
-        A1664, jnp.asarray(b16), rel_tol=1e-10, max_iter=20,
-        inner_kwargs={"rel_tol": 1e-4, "max_iter": 2000},
-    )
-    jax.block_until_ready(x_mp)
-    # second run = warm timing (first pays all compiles)
-    t0 = time.perf_counter()
-    x_mp, info_mp = rt.mixed_precision_dc(
-        A1664, jnp.asarray(b16), rel_tol=1e-10, max_iter=20,
-        inner_kwargs={"rel_tol": 1e-4, "max_iter": 2000},
-    )
-    jax.block_until_ready(x_mp)
-    results["mpdc_16k_ms"] = (time.perf_counter() - t0) * 1e3
-    results["mpdc_16k_iters"] = int(info_mp.iterations)
-    log(f"mpdc: outer_iters={int(info_mp.iterations)} "
-        f"res={float(info_mp.final_res):.3e}")
-
-    # CG + SA-AMG V-cycle on 65k 2D Laplacian
-    from rocalution_tpu.solvers.multigrid import (amg_hierarchy,
-                                                  convert_hierarchy,
-                                                  cycle_closure)
-
-    A2h = rt.laplacian_2d(256, dtype=np.float64)  # AMG setup wants f64 host
-    t0 = time.perf_counter()
-    hier = amg_hierarchy(A2h, "sa", coarse_size=300)
-    hier = convert_hierarchy(hier, dtype=np.float32)
-    results["amg_setup_ms"] = (time.perf_counter() - t0) * 1e3
-    M = cycle_closure(hier)
-
-    @jax.jit
-    def solve_amg(b):
-        xs, info = rt.cg(hier.levels[0].A, b, M=M,
-                         rel_tol=1e-6, max_iter=200)
-        return jnp.sum(xs), info.iterations, info.final_res
-
-    best, iters, res = solve_time(solve_amg, jax.device_put(b2))
-    results["cg_saamg_65k_ms"] = best * 1e3
-    results["cg_saamg_65k_iters"] = iters
-    log(f"cg+saamg: iters={iters} final_res={res:.3e} levels={hier.num_levels}")
+    for fmt in ("ell", "hyb", "bcsr", "csr_xla"):
+        section(f"fmt_{fmt}", 25, slow_fmt(fmt))
 
     for k, v in sorted(results.items()):
         log(f"  {k:28s} {v:12.2f}")
-
-    # Headline: CSR SpMV bandwidth (the format BASELINE names), WJD engine.
-    value = results["spmv_csr_gbps"]
-    baseline = 0.8 * roof
-    print(json.dumps({
-        "metric": "spmv_csr_f32_bandwidth",
-        "value": round(value, 3),
-        "unit": "GB/s",
-        "vs_baseline": round(value / baseline, 4),
-        "detail": {k: round(v, 3) for k, v in results.items()},
-        "roofline_gbps": roof,
-    }))
 
 
 if __name__ == "__main__":

@@ -113,6 +113,8 @@ def to_csr(mat) -> CSR:
         # reconstruct COO from slot vregs (explicit zeros are dropped, like
         # every padded-format round trip: ELL/DIA do the same)
         val = get_host(mat, "data")
+        if mat.data_lo is not None:   # float-float: v = hi + lo exactly
+            val = val.astype(np.float64) + get_host(mat, "data_lo")
         u = get_host(mat, "uloc").astype(np.int64)
         brow = get_host(mat, "brow").astype(np.int64)
         Tp, K = brow.shape

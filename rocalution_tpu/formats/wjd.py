@@ -71,7 +71,14 @@ class WJD(MatrixBase):
     spill_row: jnp.ndarray   # (nspill,) int32 COO spill (rows beyond slot cap)
     spill_col: jnp.ndarray   # (nspill,) int32
     spill_val: jnp.ndarray   # (nspill,)
+    # float-float (f64) extension: data holds the f32 hi halves, data_lo the
+    # f32 lo halves (v = hi + lo exactly); None for native-f32/bf16 matrices.
+    # The kernel then runs Dekker two-products + compensated accumulation
+    # (see ops/pallas/spmv_wjd.py) — the TPU answer to the reference's
+    # natively-double csrmv (hip_matrix_csr.cpp:1215-1276).
+    data_lo: Optional[jnp.ndarray] = None
     shape: Tuple[int, int] = static_field(default=(0, 0))
+    value_dtype: str = static_field(default="float32")  # logical value dtype
     pad_lo: int = static_field(default=0)    # zeros prepended to x
     xp_len: int = static_field(default=0)    # padded x length (multiple of 128)
     nnz: int = static_field(default=0)
@@ -82,6 +89,11 @@ class WJD(MatrixBase):
     def nj(self) -> int:
         """Gather candidates per slot: (l + u) >> 7 in [0, nj)."""
         return (1 << self.wlog) // 128 + 1
+
+    @property
+    def dtype(self):
+        """Logical value dtype (float64 for the float-float variant)."""
+        return jnp.dtype(self.value_dtype)
 
     @property
     def padding_ratio(self) -> float:
@@ -219,7 +231,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     T = max(1, -(-n // TILE))
     Tp = -(-T // group) * group
 
-    dtype = vals_k.dtype if vals_k.size else np.float32
+    dtype = vals_k.dtype if vals_k.size else np.asarray(spill[2]).dtype
     udtype = np.uint8 if win <= 256 else np.int16
     val_arr = np.zeros((Tp, K, 8, 128), dtype=dtype)
     u_arr = np.zeros((Tp, K, 8, 128), dtype=np.int32)
@@ -261,8 +273,18 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     need_rows = max_brow + _load_rows(nj)
     xp_len = max(need_rows * 128, -(-(pad_lo + m) // 128) * 128)
     sr, sc, sv = spill
+
+    # float-float split for f64 values: hi = f32(v), lo = f32(v - hi) —
+    # exact (v = hi + lo); the kernel reconstitutes ~48-bit products.
+    val_lo = None
+    value_dtype = np.dtype(dtype).name
+    if np.dtype(dtype) == np.float64:
+        hi = val_arr.astype(np.float32)
+        val_lo = (val_arr - hi.astype(np.float64)).astype(np.float32)
+        val_arr = hi
     return WJD(
         data=jnp.asarray(val_arr),
+        data_lo=None if val_lo is None else jnp.asarray(val_lo),
         uloc=jnp.asarray(u_arr.astype(udtype)),
         brow=jnp.asarray(brow_arr, dtype=jnp.int32),
         diag_u=jnp.asarray(diag_arr),
@@ -275,6 +297,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         nnz=int(nnz),
         group=int(group),
         wlog=int(wlog),
+        value_dtype=value_dtype,
     )
 
 

@@ -96,6 +96,17 @@ def read_rocsparseio(path: str) -> CSR:
             ptr = _read_array(f, _TYPE_TO_DTYPE[int(ptr_t)])
             ind = _read_array(f, _TYPE_TO_DTYPE[int(ind_t)]) - int(base)
             data = _read_array(f, _TYPE_TO_DTYPE[int(dat_t)])
+            # cross-check stored scalars vs actual array counts so an
+            # internally inconsistent file errors instead of yielding a
+            # malformed CSR
+            nptr_want = int(n) + 1 if direction == 1 else int(m) + 1
+            if len(ptr) != nptr_want or len(ind) != int(nnz) \
+                    or len(data) != int(nnz):
+                raise ValueError(
+                    f"{path}: inconsistent CSX object: |ptr|={len(ptr)} "
+                    f"(want {nptr_want}), |ind|={len(ind)}, "
+                    f"|data|={len(data)}, nnz={int(nnz)}"
+                )
             if direction == 1:  # CSC: transpose to CSR
                 from scipy.sparse import csc_matrix
 
@@ -109,6 +120,11 @@ def read_rocsparseio(path: str) -> CSR:
             rows = _read_array(f, _TYPE_TO_DTYPE[int(row_t)]) - int(base)
             cols = _read_array(f, _TYPE_TO_DTYPE[int(col_t)]) - int(base)
             data = _read_array(f, _TYPE_TO_DTYPE[int(dat_t)])
+            if not (len(rows) == len(cols) == len(data) == int(nnz)):
+                raise ValueError(
+                    f"{path}: inconsistent COO object: |row|={len(rows)}, "
+                    f"|col|={len(cols)}, |data|={len(data)}, nnz={int(nnz)}"
+                )
             order = np.lexsort((cols, rows))
             indptr = np.zeros(int(m) + 1, np.int64)
             np.add.at(indptr, rows + 1, 1)
@@ -126,9 +142,15 @@ def write_rocsparseio(path: str, A, name: str = "rocalution_tpu") -> None:
 
     csr = to_csr(A)
     data = np.asarray(get_host(csr, "data"))
-    ind = np.asarray(get_host(csr, "indices")).astype("<i4")
-    ptr = np.asarray(get_host(csr, "indptr")).astype("<i4")
+    ind = np.asarray(get_host(csr, "indices"))
+    ptr = np.asarray(get_host(csr, "indptr"))
     m, n = csr.shape
+    # index width follows the values (reference type enum 1 = int64): int32
+    # would silently wrap for nnz or dims >= 2^31
+    itype = "<i8" if max(m, n, int(ptr[-1]) if len(ptr) else 0) >= 2**31 \
+        else "<i4"
+    ind = ind.astype(itype)
+    ptr = ptr.astype(itype)
     dt = _DTYPE_TO_TYPE.get(data.dtype.newbyteorder("<"))
     if dt is None:
         data = data.astype("<f8")

@@ -1,4 +1,4 @@
-"""Pallas SpMV kernel for the WJD format (see formats/wjd.py).
+"""Pallas SpMV kernels for the WJD format (see formats/wjd.py).
 
 This is the TPU device-kernel layer the reference implements with
 rocSPARSE csrmv + hand-written HIP kernels (hip_matrix_csr.cpp:1215-1276,
@@ -17,12 +17,22 @@ hip_kernels_csr.hpp). Design:
   (measured 102 -> 19 ns/slot on v5e) — unrolling lets the gathers of
   consecutive slots pipeline.
 
-Everything is static-shaped; the kernel runs under `jit` and inside
+Two kernels share this structure:
+
+* `_kernel` — native f32/bf16 values, one accumulator vreg per tile.
+* `_kernel_ff` — float-float f64: values arrive as exact (hi, lo) f32
+  pairs (v = hi + lo), x likewise; each product is a Dekker two-product
+  (Veltkamp split, no FMA needed on the VPU) and accumulation is
+  compensated (TwoSum) into an (acc, acc_lo) vreg pair. Result accuracy
+  ~2^-48 relative (~1e-14) — the TPU answer to the reference's natively
+  double csrmv; semantics documented in BASELINE.md.
+
+Everything is static-shaped; the kernels run under `jit` and inside
 `lax.while_loop` solver bodies like every other op in the package.
 
-Performance (v5e, 1M-row 3D Laplacian, f32): 134 us/op = 52 Gnnz/s
-= 419 GB/s by the reference's (4+4)B/nnz model (51% of HBM roofline);
-round-1 XLA CSR path: 0.52 GB/s.
+Performance (v5e, 1M-row 3D Laplacian): f32 127.7 us/op = 435 GB/s by the
+reference byte model (53% of HBM roofline, BENCH_r02 tail); round-1 XLA
+CSR path: 0.52 GB/s.
 """
 
 from __future__ import annotations
@@ -56,6 +66,74 @@ def _lane_gather(win, c):
     )
 
 
+def _window_gather(win, c, j, nj):
+    """Resolve the slot's column gather: nj lane-shuffles on the static
+    8-row sub-views of the x window + selects on the row correction j."""
+    gat = _lane_gather(win[0:8], c)
+    for jj in range(1, nj):          # static: nj-1 more lane-gathers
+        gv = _lane_gather(win[jj:jj + 8], c)
+        gat = jnp.where(j == jj, gv, gat)
+    return gat
+
+
+# --- float-float helpers (all plain VPU ops; no FMA required) -------------
+
+def _two_sum(a, b):
+    """Knuth TwoSum: a + b = s + err exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+# Error-free transformations assume every intermediate is ROUNDED once;
+# mul+add->fma contraction (XLA CPU does it unconditionally — measured — and
+# neither optimization_barrier nor bitcast round-trips stop the emitter)
+# silently skips that rounding, so e.g. `acc + p` with p = vh*gh becomes
+# fma(vh, gh, acc) and the TwoSum compensation then "corrects" a sum that
+# never happened (measured: 1-ulp hi error with a stale lo). The fix: pin
+# each product by multiplying with a runtime-opaque 1.0f (`one`, an SMEM
+# kernel operand Mosaic cannot constant-fold). If THAT mul is contracted
+# into a following add, fma(t, one, c) == fl(t*1 + c) == fl(t + c) — i.e.
+# the contraction becomes harmless by construction.
+
+def _split32(a, one):
+    """Veltkamp split of f32 into 12-bit halves: a = hi + lo exactly."""
+    c = (a * 4097.0) * one           # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b, one):
+    """Dekker two-product: a * b = p + e exactly (f32, no FMA)."""
+    p = (a * b) * one
+    ah, al = _split32(a, one)
+    bh, bl = _split32(b, one)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _unrolled_slots(K, slot, carry):
+    """Run `slot(k, carry) -> carry` for k in [0, K): fully unrolled when
+    small, else fori_loop over unrolled chunks + static tail."""
+    if K <= _UNROLL_MAX:
+        for k in range(K):
+            carry = slot(k, carry)
+        return carry
+    nchunk = K // _UNROLL
+
+    def chunk(ci, carry):
+        k0 = ci * _UNROLL
+        for dk in range(_UNROLL):
+            carry = slot(k0 + dk, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunk), chunk, carry)
+    for k in range(nchunk * _UNROLL, K):   # static tail
+        carry = slot(k, carry)
+    return carry
+
+
 def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
             K, group, nj):
     step = pl.program_id(0)
@@ -63,38 +141,55 @@ def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
     acc_dtype = y_ref.dtype
     rows = _load_rows(nj)
 
-    def slot(t, g, k, acc):
-        base = brow_ref[t, k]
-        dl = lane + u_ref[g, k].astype(jnp.int32)   # in [0, 127 + win)
-        c = dl & 127
-        j = dl >> 7                      # gather candidate in [0, nj)
-        win = x_ref[pl.ds(base, rows), :]
-        gat = _lane_gather(win[0:8], c)
-        for jj in range(1, nj):          # static: nj-1 more lane-gathers
-            gv = _lane_gather(win[jj:jj + 8], c)
-            gat = jnp.where(j == jj, gv, gat)
-        return acc + val_ref[g, k] * gat
-
     for g in range(group):               # static unroll over tiles
         t = step * group + g
-        acc = jnp.zeros((8, 128), acc_dtype)
-        if K <= _UNROLL_MAX:
-            for k in range(K):           # full static unroll
-                acc = slot(t, g, k, acc)
-        else:
-            nchunk = K // _UNROLL
 
-            def chunk(ci, acc):
-                k0 = ci * _UNROLL
-                for dk in range(_UNROLL):
-                    acc = slot(t, g, k0 + dk, acc)
-                return acc
+        def slot(k, acc, g=g, t=t):
+            base = brow_ref[t, k]
+            dl = lane + u_ref[g, k].astype(jnp.int32)   # in [0, 127 + win)
+            c = dl & 127
+            j = dl >> 7                  # gather candidate in [0, nj)
+            win = x_ref[pl.ds(base, rows), :]
+            gat = _window_gather(win, c, j, nj)
+            return acc + val_ref[g, k] * gat
 
-            acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunk),
-                                    chunk, acc)
-            for k in range(nchunk * _UNROLL, K):   # static tail
-                acc = slot(t, g, k, acc)
-        y_ref[g] = acc
+        y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
+
+
+def _kernel_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref, vl_ref,
+               u_ref, yh_ref, yl_ref, *, K, group, nj):
+    """Float-float SpMV: per nonzero v*x with v = vh+vl, x = xh+xl:
+    (p, e) = TwoProd(vh, xh); e += vh*xl + vl*xh (the vl*xl term is
+    ~2^-72 relative — dropped); compensated accumulate into (acc, accl)."""
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rows = _load_rows(nj)
+    one = one_ref[0, 0]              # runtime-opaque 1.0f (see _two_prod)
+
+    for g in range(group):
+        t = step * group + g
+
+        def slot(k, carry, g=g, t=t):
+            acc, accl = carry
+            base = brow_ref[t, k]
+            dl = lane + u_ref[g, k].astype(jnp.int32)
+            c = dl & 127
+            j = dl >> 7
+            win_h = xh_ref[pl.ds(base, rows), :]
+            win_l = xl_ref[pl.ds(base, rows), :]
+            gh = _window_gather(win_h, c, j, nj)
+            gl = _window_gather(win_l, c, j, nj)
+            vh = vh_ref[g, k]
+            vl = vl_ref[g, k]
+            p, e = _two_prod(vh, gh, one)
+            e = e + (vh * gl + vl * gh)
+            acc, err = _two_sum(acc, p)
+            return acc, accl + (err + e)
+
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc, accl = _unrolled_slots(K, slot, (zero, zero))
+        yh_ref[g] = acc
+        yl_ref[g] = accl
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -108,29 +203,35 @@ def _wjd_apply(A: WJD, xp2d, *, interpret=False):
         return _wjd_apply_32(A, xp2d, interpret)
 
 
-def _wjd_apply_32(A: WJD, xp2d, interpret):
+def _specs(A, x_shapes):
+    """Common grid spec pieces: (grid, in_specs for [x..., slotblocks])."""
     Tp, K = A.brow.shape
     group = A.group
     grid = (Tp // group,)
+    x_specs = [
+        pl.BlockSpec(shp, lambda i, *_, n=len(shp): (0,) * n,
+                     memory_space=pltpu.VMEM)
+        for shp in x_shapes
+    ]
+    slot_spec = pl.BlockSpec((group, K, 8, 128),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((group, 8, 128), lambda i, *_: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return grid, x_specs, slot_spec, out_spec, Tp, K, group
+
+
+def _wjd_apply_32(A: WJD, xp2d, interpret):
+    grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
+        A, [xp2d.shape])
     kern = functools.partial(_kernel, K=K, group=group, nj=A.nj)
     y = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,           # brow, diag_u
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(xp2d.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((group, K, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((group, K, 8, 128),
-                             lambda i, *_: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((group, 8, 128),
-                                   lambda i, *_: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=x_specs + [slot_spec, slot_spec],
+            out_specs=out_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), A.data.dtype),
         interpret=interpret,
@@ -138,15 +239,85 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
     return y
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
+    with jax.enable_x64(False):
+        grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
+            A, [xh2d.shape, xl2d.shape])
+        kern = functools.partial(_kernel_ff, K=K, group=group, nj=A.nj)
+        out32 = jax.ShapeDtypeStruct((Tp, 8, 128), jnp.float32)
+        one_spec = pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                                memory_space=pltpu.SMEM)
+        yh, yl = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[one_spec] + x_specs
+                + [slot_spec, slot_spec, slot_spec],
+                out_specs=(out_spec, out_spec),
+            ),
+            out_shape=(out32, out32),
+            interpret=interpret,
+        )(A.brow, A.diag_u, jnp.ones((1, 1), jnp.float32), xh2d, xl2d,
+          A.data, A.data_lo, A.uloc)
+        return yh, yl
+
+
+def wjd_reference(A: WJD, x):
+    """Reference slot-semantics SpMV in XLA's native arithmetic (f64 for
+    float-float matrices) — the interpret-mode/CPU implementation and the
+    oracle the kernels are tested against. Index identity: element (t,k,s,l)
+    multiplies x_padded[(brow[t,k] + s)*128 + l + u[t,k,s,l]]."""
+    n, m = A.shape
+    ff = A.data_lo is not None
+    xd = x.astype(jnp.float64) if ff else x
+    pad_hi = A.xp_len - A.pad_lo - m
+    xp = jnp.pad(xd, (A.pad_lo, pad_hi))
+    val = A.data.astype(jnp.float64) + A.data_lo if ff else A.data
+    Tp, K = A.brow.shape
+    shape4 = (Tp, K, 8, 128)
+    s = jax.lax.broadcasted_iota(jnp.int32, shape4, 2)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape4, 3)
+    idx = (A.brow[:, :, None, None] + s) * 128 + l + A.uloc.astype(jnp.int32)
+    y = jnp.sum(val * xp[idx], axis=1).reshape(-1)[:n]
+    if A.spill_row.shape[0]:
+        prod = A.spill_val * xd[A.spill_col]
+        y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
+    return y
+
+
+def _pad_plane(A: WJD, x32):
+    pad_hi = A.xp_len - A.pad_lo - A.shape[1]
+    xp = jnp.pad(x32, (A.pad_lo, pad_hi))
+    return xp.reshape(A.xp_len // 128, 128)
+
+
 def wjd_spmv(A: WJD, x, *, interpret: bool | None = None):
     """y = A @ x for a WJD matrix; single right-hand side."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, m = A.shape
-    pad_hi = A.xp_len - A.pad_lo - m
-    xp = jnp.pad(x, (A.pad_lo, pad_hi))
-    xp2d = xp.reshape(A.xp_len // 128, 128)
-    y = _wjd_apply(A, xp2d, interpret=interpret).reshape(-1)[:n]
+    n, _ = A.shape
+    if A.data_lo is not None:
+        if interpret:
+            # CPU/interpret: native f64 IS available off-TPU — use the
+            # reference slot formulation instead of emulating the f32
+            # compensated kernel (whose error-free transformations XLA CPU's
+            # unconditional fma contraction would break anyway).
+            return wjd_reference(A, x)
+        # float-float path: split x exactly into f32 hi + lo planes
+        xd = x.astype(jnp.float64)
+        xh = xd.astype(jnp.float32)
+        xl = (xd - xh.astype(jnp.float64)).astype(jnp.float32)
+        yh, yl = _wjd_apply_ff(A, _pad_plane(A, xh), _pad_plane(A, xl),
+                               interpret=interpret)
+        y = (yh.astype(jnp.float64) + yl.astype(jnp.float64)
+             ).reshape(-1)[:n]
+        if A.spill_row.shape[0]:
+            prod = A.spill_val * xd[A.spill_col]
+            y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
+        return y
+    y = _wjd_apply(A, _pad_plane(A, x), interpret=interpret).reshape(-1)[:n]
     if A.spill_row.shape[0]:
         prod = A.spill_val * x[A.spill_col]
         y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)

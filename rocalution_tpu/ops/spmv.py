@@ -62,7 +62,7 @@ def _spmv_wjd(A: WJD, x):
 @spmv.register(CSR)
 def _spmv_csr(A: CSR, x):
     wjd = getattr(A, "_wjd_cache", None)
-    if wjd is not None and x.ndim == 1 and _use_pallas(A.data.dtype, x.dtype):
+    if wjd is not None and x.ndim == 1 and _use_pallas(wjd, x.dtype):
         return _spmv_wjd(wjd, x)
     prod = _expand(A.data, x[A.indices])
     return jax.ops.segment_sum(
@@ -70,9 +70,16 @@ def _spmv_csr(A: CSR, x):
     )
 
 
-def _use_pallas(adt, xdt) -> bool:
-    ok = (jnp.float32, jnp.bfloat16)
-    return jnp.dtype(adt) in ok and jnp.dtype(xdt) in ok
+def _use_pallas(wjd, xdt) -> bool:
+    """Can this WJD cache serve a rhs of dtype `xdt`? f32/bf16 ride the
+    native kernel; f64 rides the float-float kernel iff the cache was
+    built from f64 values (data_lo present)."""
+    xdt = jnp.dtype(xdt)
+    if xdt in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return wjd.data_lo is None
+    if xdt == jnp.dtype(jnp.float64):
+        return wjd.data_lo is not None
+    return False
 
 
 def attach_wjd(A: CSR, **kwargs) -> CSR:

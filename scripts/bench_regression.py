@@ -68,13 +68,17 @@ def flatten(doc: dict) -> dict:
 
 
 def direction(name: str) -> int:
-    """+1 higher-is-better, -1 lower-is-better, 0 informational."""
-    for suf in HIGHER_IS_BETTER:
-        if name.endswith(suf) or suf in name:
-            return 1
+    """+1 higher-is-better, -1 lower-is-better, 0 informational.
+
+    Cost suffixes are checked FIRST and by endswith only, so a cost metric
+    whose name merely contains a throughput word (e.g. 'amg_efficiency_ms')
+    classifies as lower-is-better."""
     for suf in LOWER_IS_BETTER:
         if name.endswith(suf):
             return -1
+    for suf in HIGHER_IS_BETTER:
+        if name.endswith(suf) or suf in name:
+            return 1
     return 0
 
 
@@ -113,6 +117,15 @@ def main(argv=None) -> int:
 
     old = flatten(load(old_path))
     new = flatten(load(new_path))
+    if not old or not new:
+        print(f"FAIL: no metrics parsed from "
+              f"{old_path if not old else new_path} — nothing compared",
+              file=sys.stderr)
+        return 2
+    if not set(old) & set(new):
+        print("FAIL: metric sets are disjoint — nothing compared",
+              file=sys.stderr)
+        return 2
     regressions, report = compare(old, new, args.tol)
 
     print(f"comparing {old_path} -> {new_path}  (tol {args.tol}%)")

@@ -106,6 +106,49 @@ def test_wjd_empty():
     np.testing.assert_allclose(np.asarray(y), 0.0)
 
 
+def test_wjd_f64_float_float(rng):
+    """f64 CSR builds the float-float WJD variant (hi+lo split exact);
+    SpMV accuracy is f64-class, far beyond f32 (reference csrmv is natively
+    double, hip_matrix_csr.cpp:1215-1276)."""
+    A = _rand_csr(rng, 800, 800, density=0.01, dtype=np.float64)
+    d, i, p = A.numpy_triplet()
+    # wild dynamic range to stress the compensation
+    d2 = d * np.exp(rng.standard_normal(len(d)) * 4)
+    A = rt.CSR.from_arrays(d2, i, p, A.shape)
+    W = from_csr(A)
+    assert W.data_lo is not None
+    assert W.dtype == np.float64
+    # hi + lo reconstructs the f64 values exactly
+    S = sp.csr_matrix((d2, i, p), shape=A.shape)
+    x = rng.standard_normal(A.shape[0])
+    ref = S @ x
+    got = np.asarray(wjd_spmv(W, jnp.asarray(x), interpret=True))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-13, rel
+    # f32 computation would be ~1e-7 — assert we beat it by orders
+    got32 = np.asarray(
+        S.astype(np.float32) @ x.astype(np.float32)).astype(np.float64)
+    assert rel < 1e-4 * (np.linalg.norm(got32 - ref) / np.linalg.norm(ref)
+                         + 1e-30)
+
+
+def test_wjd_f64_attach_and_roundtrip(rng):
+    A = rt.laplacian_2d(20, dtype=np.float64)
+    x = rng.standard_normal(A.shape[0])
+    ref = np.asarray(spmv(A, jnp.asarray(x)))
+    attach_wjd(A)
+    got = np.asarray(spmv(A, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-13)
+    assert got.dtype == np.float64
+    # WJD(f64) -> CSR reconstructs exact f64 values
+    W = rt.convert(A, "WJD")
+    back = rt.convert(W, "CSR")
+    d0, i0, p0 = A.numpy_triplet()
+    d1, i1, p1 = back.numpy_triplet()
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(d0, d1)   # bit-exact round-trip
+
+
 def test_wjd_cg_end_to_end(rng):
     """CG driven entirely through the WJD kernel converges like CSR."""
     A = rt.laplacian_2d(24, dtype=np.float32)
