@@ -26,7 +26,8 @@ from .solvers import (IterationControl, SolverInfo, bicgstab, bicgstabl, cg,
                       chebyshev, cr, fcg, fgmres, fixed_point,
                       fixed_point_sweeps, gmres, idr, mixed_precision_dc,
                       qmrcgstab)
-from .utils.generators import (convection_diffusion_2d, laplacian_2d,
+from .utils.generators import (anisotropic_laplacian_2d,
+                               convection_diffusion_2d, laplacian_2d,
                                laplacian_3d, random_banded_spd)
 
 __version__ = "0.1.0"

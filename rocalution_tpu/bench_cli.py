@@ -28,7 +28,7 @@ PRECONDS = ["none", "jacobi", "gs", "sgs", "sor", "ssor", "ilu", "ilut",
             "itilu0", "ic", "mcgs", "mcsgs", "mcilu", "fsai", "spai", "tns",
             "aichebyshev", "blockjacobi", "as", "ras", "me",
             "saamg", "uaamg", "rsamg", "pairwise_amg"]
-FORMATS = ["CSR", "COO", "ELL", "DIA", "HYB", "BCSR", "MCSR", "DENSE"]
+FORMATS = ["CSR", "COO", "ELL", "DIA", "HYB", "BCSR", "MCSR", "DENSE", "WJD"]
 MATRICES = ["laplacian2d", "laplacian3d", "permuted_identity", "file"]
 
 
@@ -128,8 +128,19 @@ def main(argv=None):
     x = np.asarray(x)   # force completion
     t_solve = time.perf_counter() - t0
 
+    # which SpMV engine actually served the operator (reference: the bench
+    # records the format; here the same format may run the Pallas WJD
+    # kernel or the XLA composition path)
+    from rocalution_tpu.formats import WJD as _WJD
+
+    if isinstance(A, _WJD) or getattr(A, "_wjd_cache", None) is not None:
+        engine = "pallas-wjd"
+    else:
+        engine = "xla"
+
     res = {
         "solver": args.solver, "precond": args.precond, "format": args.fmt,
+        "engine": engine,
         "matrix": f"{args.matrix}({args.size})",
         "n": A_csr.shape[0], "nnz": A_csr.nnz,
         "convergence": int(info.status) in (1, 2),

@@ -41,6 +41,16 @@ class Config:
     debug: bool = os.environ.get("ROCALUTION_TPU_DEBUG", "0") == "1"
     # Log file path for log_debug-style call tracing (reference: src/utils/log.hpp).
     log_file: Optional[str] = os.environ.get("ROCALUTION_TPU_LOG") or None
+    # Auto-attach the WJD fast-apply representation when a CSR operand
+    # reaches a solver (the analog of rocSPARSE csrmv analysis running
+    # inside Build, hip_matrix_csr.cpp csrmv_analysis). None = decide by
+    # backend (on for TPU, off for CPU where the XLA path is the fast one).
+    auto_wjd: Optional[bool] = dataclasses.field(
+        default_factory=lambda: (
+            None if os.environ.get("ROCALUTION_TPU_AUTO_WJD") is None
+            else os.environ["ROCALUTION_TPU_AUTO_WJD"] != "0"
+        )
+    )
 
 
 _config = Config()
@@ -68,3 +78,8 @@ def set_default_dtype(dtype) -> None:
 
 def index_dtype() -> np.dtype:
     return _config.index_dtype
+
+
+def set_auto_wjd(flag: Optional[bool]) -> None:
+    """Force WJD auto-attach on/off (None = backend default)."""
+    _config.auto_wjd = flag

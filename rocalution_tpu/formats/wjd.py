@@ -305,3 +305,102 @@ def from_csr(A, **kwargs) -> WJD:
     """Convert a CSR pytree (host-built) to WJD."""
     d, i, p = A.numpy_triplet()
     return csr_to_wjd(d, i, p, A.shape, **kwargs)
+
+
+def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD:
+    """Convert P same-shape CSR triplets to ONE WJD whose arrays carry a
+    leading (P,) axis and whose static fields (K, wlog, group, pads) are
+    unified across parts — the per-shard fast-apply operand consumed inside
+    `shard_map` (parallel/ops.shard_spmv). The analog of the reference
+    running the SAME optimized csrmv on every rank's interior matrix
+    (global_matrix.cpp:976-1007).
+
+    `parts`: list of (vals, cols, indptr) host triplets. Part 0's auto
+    window choice fixes `wlog` for all parts (uniform nj ⇒ one kernel)."""
+    ws = []
+    wl = wlog
+    for (v, c, p) in parts:
+        w = csr_to_wjd(v, c, p, shape,
+                       wlog=(wl if wl is not None else "auto"),
+                       max_slots=max_slots)
+        if wl is None:
+            wl = w.wlog
+        ws.append(w)
+
+    P = len(ws)
+    n, m = int(shape[0]), int(shape[1])
+    K = max(w.brow.shape[1] for w in ws)
+    group = _auto_group(K)
+    T = max(1, -(-n // TILE))
+    Tp = -(-T // group) * group
+    pad_lo = -(-max(w.pad_lo for w in ws) // 128) * 128
+    nj = (1 << wl) // 128 + 1
+    # padded-x length must cover every part's deepest (shifted) window load
+    xp_len = max(
+        max((int(np.asarray(w.brow).max()) + (pad_lo - w.pad_lo) // 128
+             + _load_rows(nj)) * 128 for w in ws),
+        -(-(pad_lo + m) // 128) * 128,
+    )
+    nspill = max(w.spill_row.shape[0] for w in ws)
+    ff = ws[0].data_lo is not None
+    vdtype = np.asarray(ws[0].data).dtype
+
+    def alloc(shp, dtype, fill=0):
+        return np.full((P,) + shp, fill, dtype=dtype)
+
+    data = alloc((Tp, K, 8, 128), vdtype)
+    dlo = alloc((Tp, K, 8, 128), vdtype) if ff else None
+    uloc = alloc((Tp, K, 8, 128), np.asarray(ws[0].uloc).dtype)
+    brow = alloc((Tp, K), np.int32)
+    diag = alloc((Tp, K), np.int32, fill=-1)
+    sr = alloc((nspill,), np.int32)
+    sc = alloc((nspill,), np.int32)
+    sv = alloc((nspill,), np.asarray(ws[0].spill_val).dtype)
+
+    for q, w in enumerate(ws):
+        Tq, Kq = w.brow.shape
+        tq, kq = min(Tq, Tp), Kq
+        data[q, :tq, :kq] = np.asarray(w.data)[:tq]
+        if ff:
+            dlo[q, :tq, :kq] = np.asarray(w.data_lo)[:tq]
+        uloc[q, :tq, :kq] = np.asarray(w.uloc)[:tq]
+        brow[q, :tq, :kq] = (np.asarray(w.brow)[:tq]
+                             + (pad_lo - w.pad_lo) // 128)
+        diag[q, :tq, :kq] = np.asarray(w.diag_u)[:tq]
+        ns = w.spill_row.shape[0]
+        if ns:
+            sr[q, :ns] = np.asarray(w.spill_row)
+            sc[q, :ns] = np.asarray(w.spill_col)
+            sv[q, :ns] = np.asarray(w.spill_val)
+
+    return WJD(
+        data=jnp.asarray(data),
+        data_lo=None if dlo is None else jnp.asarray(dlo),
+        uloc=jnp.asarray(uloc),
+        brow=jnp.asarray(brow),
+        diag_u=jnp.asarray(diag),
+        spill_row=jnp.asarray(sr),
+        spill_col=jnp.asarray(sc),
+        spill_val=jnp.asarray(sv),
+        shape=(n, m),
+        pad_lo=int(pad_lo),
+        xp_len=int(xp_len),
+        nnz=int(sum(w.nnz for w in ws)),
+        group=int(group),
+        wlog=int(wl),
+        value_dtype=ws[0].value_dtype,
+    )
+
+
+def shard_of(W: WJD, q: int = 0) -> WJD:
+    """Per-shard view of a stacked WJD: strip the leading (P,) axis (use
+    inside shard_map where each array arrives as its local (1, ...) block)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        W,
+        data=W.data[q], uloc=W.uloc[q], brow=W.brow[q], diag_u=W.diag_u[q],
+        spill_row=W.spill_row[q], spill_col=W.spill_col[q],
+        spill_val=W.spill_val[q],
+        data_lo=None if W.data_lo is None else W.data_lo[q],
+    )

@@ -156,6 +156,39 @@ def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
         y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
 
 
+def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
+                 K, group, nj, kc):
+    """Blocked-RHS SpMM: the slot value vreg is loaded ONCE and the lane
+    gathers are batched over the kc right-hand sides (x_ref: (kc, XR, 128);
+    y_ref: (kc, group, 8, 128)) — value HBM traffic is paid once per slot
+    instead of once per column (the csrmm analog, hip_sparse.hpp)."""
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    acc_dtype = y_ref.dtype
+    rows = _load_rows(nj)
+
+    for g in range(group):
+        t = step * group + g
+
+        def slot(k, accs, g=g, t=t):
+            base = brow_ref[t, k]
+            dl = lane + u_ref[g, k].astype(jnp.int32)
+            c = dl & 127
+            j = dl >> 7
+            v = val_ref[g, k]
+            out = []
+            for q in range(kc):          # static unroll over RHS columns
+                win = x_ref[q, pl.ds(base, rows), :]
+                gat = _window_gather(win, c, j, nj)
+                out.append(accs[q] + v * gat)
+            return tuple(out)
+
+        zero = jnp.zeros((8, 128), acc_dtype)
+        accs = _unrolled_slots(K, slot, (zero,) * kc)
+        for q in range(kc):
+            y_ref[q, g] = accs[q]
+
+
 def _kernel_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref, vl_ref,
                u_ref, yh_ref, yl_ref, *, K, group, nj):
     """Float-float SpMV: per nonzero v*x with v = vh+vl, x = xh+xl:
@@ -283,6 +316,67 @@ def wjd_reference(A: WJD, x):
     y = jnp.sum(val * xp[idx], axis=1).reshape(-1)[:n]
     if A.spill_row.shape[0]:
         prod = A.spill_val * xd[A.spill_col]
+        y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("kc", "interpret"))
+def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
+    with jax.enable_x64(False):
+        grid, x_specs, slot_spec, _, Tp, K, group = _specs(A, [xp3d.shape])
+        kern = functools.partial(_kernel_mrhs, K=K, group=group, nj=A.nj,
+                                 kc=kc)
+        out_spec = pl.BlockSpec((kc, group, 8, 128),
+                                lambda i, *_: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        y = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=x_specs + [slot_spec, slot_spec],
+                out_specs=out_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((kc, Tp, 8, 128), A.data.dtype),
+            interpret=interpret,
+        )(A.brow, A.diag_u, xp3d, A.data, A.uloc)
+        return y
+
+
+# multi-RHS x planes must stay VMEM-resident: cap their footprint
+_MRHS_VMEM_BYTES = 8 * 2**20
+_MRHS_MAX_COLS = 16
+
+
+def wjd_spmm(A: WJD, X, *, interpret: bool | None = None):
+    """Y = A @ X for X of shape (m, k) — blocked right-hand sides.
+
+    Columns ride the batched-gather kernel in chunks sized to keep all x
+    planes VMEM-resident; float-float (f64) matrices and oversized systems
+    fall back to a per-column loop of the single-RHS path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, m = A.shape
+    k = X.shape[1]
+    per_col = A.xp_len * 4
+    chunk = max(1, min(_MRHS_MAX_COLS, _MRHS_VMEM_BYTES // max(per_col, 1)))
+    if A.data_lo is not None or chunk == 1:
+        return jnp.stack(
+            [wjd_spmv(A, X[:, j], interpret=interpret) for j in range(k)],
+            axis=1,
+        )
+    pad_hi = A.xp_len - A.pad_lo - m
+    outs = []
+    for j0 in range(0, k, chunk):
+        kc = min(chunk, k - j0)
+        Xc = X[:, j0:j0 + kc]
+        xp = jnp.pad(Xc, ((A.pad_lo, pad_hi), (0, 0)))      # (xp_len, kc)
+        xp3d = xp.T.reshape(kc, A.xp_len // 128, 128)
+        y = _wjd_apply_mrhs(A, xp3d, kc=kc, interpret=interpret)
+        outs.append(y.reshape(kc, -1)[:, :n].T)             # (n, kc)
+    y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    if A.spill_row.shape[0]:
+        prod = A.spill_val[:, None] * X[A.spill_col]
         y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
     return y
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.spmv import _use_pallas
 from .partition import GlobalCSR
 
 
@@ -59,11 +60,20 @@ def shard_spmv(A: GlobalCSR, x_local: jnp.ndarray, axis_name: str) -> jnp.ndarra
         send = x_local[v.send_idx]
         all_send = jax.lax.all_gather(send, axis_name)      # (P, max_send)
         recv_flat = all_send.reshape(-1)
-    # interior SpMV (overlaps with the collectives under XLA scheduling)
-    y = jax.ops.segment_sum(
-        v.int_data * x_local[v.int_cols], v.int_rows,
-        num_segments=nl, indices_are_sorted=True,
-    )
+    # interior SpMV (overlaps with the collectives under XLA scheduling);
+    # rides the per-shard WJD Pallas kernel when attached — the reference
+    # runs the SAME optimized csrmv on each rank's interior
+    # (global_matrix.cpp:976-1007)
+    if A.int_wjd is not None and _use_pallas(A.int_wjd, x_local.dtype):
+        from ..formats.wjd import shard_of
+        from ..ops.pallas.spmv_wjd import wjd_spmv
+
+        y = wjd_spmv(shard_of(A.int_wjd, 0), x_local)
+    else:
+        y = jax.ops.segment_sum(
+            v.int_data * x_local[v.int_cols], v.int_rows,
+            num_segments=nl, indices_are_sorted=True,
+        )
     # ghost SpMV on the received boundary values
     ghost_vals = recv_flat[v.recv_idx]                      # (max_ghost,)
     y = y + jax.ops.segment_sum(

@@ -46,6 +46,11 @@ class GlobalCSR:
     send_idx: jnp.ndarray    # (P, max_send) local rows gathered into send buffer
     recv_idx: jnp.ndarray    # (P, max_ghost) flat recv-buffer indices
     send_off: jnp.ndarray    # (P, D, W) per-shift send lists (neighbor mode)
+    # stacked per-part WJD fast-apply of the interior shards (leading (P,)
+    # axis on every array; see formats/wjd.stack_wjd) — the analog of the
+    # reference running its optimized csrmv on each rank's interior matrix
+    # (global_matrix.cpp:976-1007). None = XLA segment-sum path.
+    int_wjd: object = None
     nparts: int = static_field(default=1)
     n_local: int = static_field(default=0)      # rows per part
     n_global: int = static_field(default=0)    # true (unpadded) row count
@@ -79,7 +84,8 @@ def _pad1(a, length, fill=0):
     return out
 
 
-def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
+def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6,
+                   wjd: bool | None = None) -> GlobalCSR:
     """Partition a host CSR into a GlobalCSR over `nparts` shards.
 
     Mirrors the boundary/ghost classification of clients/include/common.hpp:
@@ -88,6 +94,11 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     stays 0). Rectangular operators (AMG transfer P/R) are supported: rows
     follow the row partition, columns the column partition; padding rows
     are simply empty.
+
+    `wjd`: build the stacked per-part WJD fast-apply for the interior
+    shards (None = auto: on for the TPU backend / config.auto_wjd, like
+    the serial path; the ghost shard stays on the XLA path — its work is
+    proportional to the boundary only).
     """
     csr = to_csr(A)
     data, cols, indptr = csr.numpy_triplet()
@@ -201,11 +212,31 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6) -> GlobalCSR:
     nnz_int = max(1, max(len(d) for d in int_d))
     nnz_gst = max(1, max(len(d) for d in gst_d))
 
+    # stacked WJD fast-apply of the interior shards
+    if wjd is None:
+        from ..ops.spmv import _auto_wjd_on
+
+        wjd = _auto_wjd_on() and np.dtype(data.dtype) in (np.float32,
+                                                          np.float64)
+    int_wjd = None
+    if wjd:
+        from ..formats.wjd import stack_wjd
+
+        triplets = []
+        for p in range(P):
+            order = np.lexsort((int_c[p], int_r[p]))
+            r_s, c_s, d_s = int_r[p][order], int_c[p][order], int_d[p][order]
+            indptr = np.zeros(nl + 1, np.int64)
+            np.add.at(indptr, r_s + 1, 1)
+            triplets.append((d_s, c_s, np.cumsum(indptr)))
+        int_wjd = stack_wjd(triplets, (nl, ncl))
+
     def stack(parts, length, fill, dtype=None):
         out = np.stack([_pad1(x, length, fill) for x in parts])
         return jnp.asarray(out if dtype is None else out.astype(dtype))
 
     return GlobalCSR(
+        int_wjd=int_wjd,
         int_data=stack(int_d, nnz_int, 0, data.dtype),
         int_cols=stack(int_c, nnz_int, 0, np.int32),
         int_rows=stack(int_r, nnz_int, nl - 1, np.int32),

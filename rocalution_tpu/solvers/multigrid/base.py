@@ -18,6 +18,7 @@ the cycle as M (exactly the reference's MG solve structure).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -49,6 +50,14 @@ class Hierarchy:
     pre_sweeps: int = 1
     post_sweeps: int = 2
     cycle: str = "V"                # V | W | F | K
+    # energy-minimizing correction scaling (reference: SetScaling,
+    # base_multigrid.cpp:766-789/891-897): scale the pre-smoothed iterate
+    # and the prolonged correction by <w,t>/<t,At>.
+    scaling: bool = False
+    # number of COARSEST levels computed on the host via a pure_callback
+    # (reference: SetHostLevels, base_multigrid.cpp:802-813 — coarse grids
+    # move to host where tiny ops beat accelerator latency).
+    host_levels: int = 0
 
     @property
     def num_levels(self) -> int:
@@ -56,6 +65,12 @@ class Hierarchy:
 
     def operator_sizes(self):
         return [lv.A.shape[0] for lv in self.levels]
+
+    def with_options(self, **kw) -> "Hierarchy":
+        """Return a copy with cycle options changed (cycle/scaling/
+        host_levels/pre_sweeps/post_sweeps) — the analog of the reference's
+        SetCycle/SetScaling/SetHostLevels setters."""
+        return dataclasses.replace(self, **kw)
 
 
 def jacobi_smoother(A, omega: float = 2.0 / 3.0) -> Callable:
@@ -160,7 +175,15 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
     if dtype is not None:
         coarse = qr_factor(new_levels[-1].A)
     return Hierarchy(new_levels, coarse, h.pre_sweeps,
-                     h.post_sweeps, h.cycle)
+                     h.post_sweeps, h.cycle, h.scaling, h.host_levels)
+
+
+def _energy_factor(w, t, At):
+    """Energy-minimizing scale <w,t>/<t,At>, 1 on zero denominator
+    (reference: base_multigrid.cpp:766-789)."""
+    num = jnp.sum(w * t)
+    den = jnp.sum(t * At)
+    return jnp.where(den == 0, 1.0, num / jnp.where(den == 0, 1.0, den))
 
 
 def cycle_closure(h: Hierarchy) -> Callable:
@@ -168,15 +191,33 @@ def cycle_closure(h: Hierarchy) -> Callable:
 
     Python recursion unrolls the whole cycle into one XLA program
     (reference: Vcycle_/Wcycle_/Fcycle_/Kcycle_, base_multigrid.cpp:720-981).
+    With `h.scaling` the pre-smoothed iterate (levels 0<l<L-2) and the
+    prolonged correction (levels l<L-2) are energy-min scaled; with
+    `h.host_levels` the coarsest levels run on the host inside a
+    pure_callback (base_multigrid.cpp:802-813 MoveToHost analog).
     """
     cyc = h.cycle.upper()
+    L = h.num_levels
+    boundary = max(0, L - h.host_levels) if h.host_levels > 0 else None
+    host_entry = _host_subtree(h, boundary) if boundary is not None else None
 
     def level_apply(l: int, b, mode: str):
         lv = h.levels[l]
+        if boundary is not None and l == boundary:
+            # `mode` is static at trace time — close over it; only the
+            # vector crosses the host boundary
+            return jax.pure_callback(
+                functools.partial(host_entry, mode=mode),
+                jax.ShapeDtypeStruct(b.shape, b.dtype), b,
+                vmap_method="sequential",
+            )
         if lv.P is None:
             return h.coarse_solve(b)
         x = lv.smooth(b, jnp.zeros_like(b), h.pre_sweeps)
-        res = spmv(lv.R, b - spmv(lv.A, x))
+        if h.scaling and 0 < l < L - 2 and h.pre_sweeps > 0:
+            x = x * _energy_factor(b, x, spmv(lv.A, x))
+        res_f = b - spmv(lv.A, x)
+        res = spmv(lv.R, res_f)
         Ac = h.levels[l + 1].A
         if l + 2 == h.num_levels or mode == "V":
             e = level_apply(l + 1, res, "V" if mode == "F" else mode)
@@ -193,10 +234,93 @@ def cycle_closure(h: Hierarchy) -> Callable:
             e = _fcg_steps(Ac, res, lambda r: level_apply(l + 1, r, "K"), 2)
         else:
             raise ValueError(f"unknown cycle {mode!r}")
-        x = x + spmv(lv.P, e)
+        t = spmv(lv.P, e)
+        if h.scaling and l < L - 2:
+            # level 0 numerator uses the post-pre-smooth residual, deeper
+            # levels the level rhs (base_multigrid.cpp:862-897)
+            w = res_f if l == 0 else b
+            x = x + _energy_factor(w, t, spmv(lv.A, t)) * t
+        else:
+            x = x + t
         return lv.smooth(b, x, h.post_sweeps)
 
     return lambda r: level_apply(0, r, cyc)
+
+
+def _host_subtree(h: Hierarchy, boundary: int) -> Callable:
+    """Numpy/scipy execution of levels >= `boundary` — called through
+    jax.pure_callback so coarse grids run on the host CPU while the fine
+    levels stay on the TPU (SetHostLevels analog). Mirrors level_apply's
+    recursion exactly."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from ...formats.base import get_host
+    from ...formats.convert import to_csr
+
+    mats = {}   # (level, name) -> scipy matrix / numpy diag
+
+    def as_sp(M):
+        key = id(M)
+        if key not in mats:
+            c = to_csr(M)
+            d, i, p = c.numpy_triplet()
+            mats[key] = sp.csr_matrix((d, i, p), shape=c.shape)
+        return mats[key]
+
+    levels = h.levels
+    Ac = to_csr(levels[-1].A)
+    dc, ic, pc = Ac.numpy_triplet()
+    dense = sp.csr_matrix((dc, ic, pc), shape=Ac.shape).toarray()
+    lu = sla.lu_factor(dense)
+    inv_diags = {}
+
+    def smooth(l, b, x, sweeps, omega=2.0 / 3.0):
+        A = as_sp(levels[l].A)
+        if l not in inv_diags:
+            d = A.diagonal()
+            inv_diags[l] = np.where(d != 0, omega / np.where(d == 0, 1, d),
+                                    omega)
+        for _ in range(sweeps):
+            x = x + inv_diags[l] * (b - A @ x)
+        return x
+
+    def factor(w, t, At):
+        den = float(np.dot(t, At))
+        return 1.0 if den == 0 else float(np.dot(w, t)) / den
+
+    def apply_(l, b, mode):
+        lv = levels[l]
+        if lv.P is None:
+            return sla.lu_solve(lu, b.astype(dense.dtype)).astype(b.dtype)
+        x = smooth(l, b, np.zeros_like(b), h.pre_sweeps)
+        if h.scaling and 0 < l < len(levels) - 2 and h.pre_sweeps > 0:
+            x = x * factor(b, x, as_sp(lv.A) @ x)
+        res_f = b - as_sp(lv.A) @ x
+        res = as_sp(lv.R) @ res_f
+        if l + 2 == len(levels) or mode == "V":
+            e = apply_(l + 1, res, "V" if mode == "F" else mode)
+        elif mode == "W":
+            e = apply_(l + 1, res, "W")
+            e = e + apply_(l + 1, res - as_sp(levels[l + 1].A) @ e, "W")
+        elif mode == "F":
+            e = apply_(l + 1, res, "F")
+            e = e + apply_(l + 1, res - as_sp(levels[l + 1].A) @ e, "V")
+        else:  # K on host: collapse to V (host subtree is the tail levels)
+            e = apply_(l + 1, res, "V")
+        t = as_sp(lv.P) @ e
+        if h.scaling and l < len(levels) - 2:
+            w = res_f if l == 0 else b
+            x = x + factor(w, t, as_sp(lv.A) @ t) * t
+        else:
+            x = x + t
+        return smooth(l, b, x, h.post_sweeps)
+
+    def entry(b, mode="V"):
+        b = np.asarray(b)
+        return apply_(boundary, b, str(mode)).astype(b.dtype)
+
+    return entry
 
 
 def _fcg_steps(A, b, M: Callable, steps: int):

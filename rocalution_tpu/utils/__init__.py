@@ -1,0 +1,3 @@
+"""Runtime utilities: logging, validation, generators, key, profiling."""
+
+from . import generators, key, log, profile, validate  # noqa: F401

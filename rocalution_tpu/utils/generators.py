@@ -37,6 +37,33 @@ def laplacian_2d(n: int, dtype=None) -> CSR:
     )
 
 
+def anisotropic_laplacian_2d(n: int, epsilon: float = 0.1,
+                             dtype=None) -> CSR:
+    """Stretched/anisotropic 5-point Laplacian: -u_xx - eps*u_yy on an
+    n x n grid — the classic AMG stress problem (smooth error aligns with
+    the strong direction; energy-min cycle scaling matters here)."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    N = n * n
+    idx = np.arange(N, dtype=np.int64)
+    ix = idx % n
+    iy = idx // n
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask])
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    add(np.ones(N, dtype=bool), idx, idx, 2.0 + 2.0 * epsilon)
+    add(ix > 0, idx, idx - 1, -1.0)
+    add(ix < n - 1, idx, idx + 1, -1.0)
+    add(iy > 0, idx, idx - n, -epsilon)
+    add(iy < n - 1, idx, idx + n, -epsilon)
+    return CSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (N, N)
+    )
+
+
 def laplacian_3d(n: int, dtype=None) -> CSR:
     """7-point 3D Laplacian on an n^3 grid (Dirichlet)."""
     dtype = np.dtype(dtype) if dtype is not None else default_dtype()

@@ -171,3 +171,44 @@ def test_amg_pmis_strategy_solve(rng):
     x, info = rt.cg(A, b, M=M, rel_tol=1e-9, max_iter=200)
     assert int(info.status) in (1, 2)
     assert int(info.iterations) <= 40
+
+
+def test_energy_min_scaling_changes_convergence(rng):
+    """SetScaling analog: energy-min correction scaling is applied and
+    changes the V-cycle's convergence trajectory on the stretched
+    Laplacian (reference: base_multigrid.cpp:766-789,862-897); with a
+    mildly damped smoother it must not diverge."""
+    from rocalution_tpu.solvers.multigrid import amg_hierarchy, mg_solve
+
+    A = rt.anisotropic_laplacian_2d(24, epsilon=0.05)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    h = amg_hierarchy(A, "sa", coarse_size=40)
+    assert h.num_levels >= 4  # scaling is active only for 0<l<L-2 windows
+    x0, i0 = mg_solve(h, b, rel_tol=1e-8, max_iter=60)
+    x1, i1 = mg_solve(h.with_options(scaling=True), b, rel_tol=1e-8,
+                      max_iter=60)
+    assert int(i1.status) in (1, 2)
+    err = np.linalg.norm(np.asarray(x1) - 1.0)
+    assert err < 1e-5
+    # the scaled cycle is a different iteration: trajectories differ
+    assert (int(i0.iterations), np.linalg.norm(np.asarray(x0) - 1.0)) != (
+        int(i1.iterations), err)
+
+
+def test_host_levels_offload(rng):
+    """SetHostLevels analog: the coarsest levels run on host through a
+    pure_callback; results match the all-device cycle to solver tolerance
+    (reference: base_multigrid.cpp:802-813)."""
+    from rocalution_tpu.solvers.multigrid import amg_hierarchy, mg_solve
+
+    A = rt.laplacian_2d(24)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    h = amg_hierarchy(A, "sa", coarse_size=40)
+    assert h.num_levels >= 3
+    x0, i0 = mg_solve(h, b, rel_tol=1e-9, max_iter=60)
+    x1, i1 = mg_solve(h.with_options(host_levels=2), b, rel_tol=1e-9,
+                      max_iter=60)
+    assert int(i1.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x1) - 1.0) < 1e-6
+    # same algorithm, host-executed tail: iteration counts match closely
+    assert abs(int(i0.iterations) - int(i1.iterations)) <= 1

@@ -88,3 +88,21 @@ def test_blas1_surface(rng):
     np.testing.assert_allclose(
         np.asarray(blas1.permute_backward(blas1.permute(x, perm), perm)),
         np.asarray(x), atol=0)
+
+
+def test_profile_context_manager(tmp_path, rng):
+    """jax.profiler hook (SURVEY §5): a trace of a solve is captured."""
+    import rocalution_tpu as rt
+    from rocalution_tpu.utils.profile import (annotate, latest_trace_file,
+                                              profile)
+
+    A = rt.laplacian_2d(8)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    logdir = str(tmp_path / "trace")
+    with profile(logdir):
+        with annotate("cg-smoke"):
+            x, info = rt.cg(A, b, rel_tol=1e-8, max_iter=100)
+            np.asarray(x)
+    assert latest_trace_file(logdir) is not None
+    with profile("unused", enabled=False) as d:
+        assert d is None

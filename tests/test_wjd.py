@@ -106,6 +106,81 @@ def test_wjd_empty():
     np.testing.assert_allclose(np.asarray(y), 0.0)
 
 
+def test_wjd_spmm_multi_rhs(rng):
+    """Blocked right-hand sides ride the batched-gather kernel (csrmm
+    analog) and match per-column results."""
+    A = _rand_csr(rng, 600, 500, density=0.01)
+    W = from_csr(A)
+    X = jnp.asarray(rng.standard_normal((500, 5)).astype(np.float32))
+    ref = np.stack([np.asarray(spmv(A, X[:, j])) for j in range(5)], axis=1)
+    got = np.asarray(spmv(W, X))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+    # and through the CSR attach path
+    attach_wjd(A)
+    got2 = np.asarray(spmv(A, X))
+    np.testing.assert_allclose(got2, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_wjd_spmm_chunking(rng):
+    """Column counts beyond one VMEM chunk split and concatenate."""
+    from rocalution_tpu.ops.pallas import spmv_wjd as mod
+
+    A = _rand_csr(rng, 300, 300, density=0.02)
+    W = from_csr(A)
+    X = jnp.asarray(rng.standard_normal((300, 7)).astype(np.float32))
+    ref = np.asarray(spmv(W, X))
+    old = mod._MRHS_MAX_COLS
+    try:
+        mod._MRHS_MAX_COLS = 3   # force 3 chunks
+        got = np.asarray(spmv(W, X))
+    finally:
+        mod._MRHS_MAX_COLS = old
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_auto_attach_in_solver(rng):
+    """as_operator auto-attaches WJD to CSR when config.auto_wjd is on
+    (default: TPU backend only — forced on here)."""
+    from rocalution_tpu.config import set_auto_wjd
+
+    A = rt.laplacian_2d(12, dtype=np.float32)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
+    assert getattr(A, "_wjd_cache", None) is None
+    set_auto_wjd(True)
+    try:
+        x, info = rt.cg(A, b, rel_tol=1e-5, max_iter=300)
+    finally:
+        set_auto_wjd(None)
+    assert getattr(A, "_wjd_cache", None) is not None
+    r = b - spmv(A, x)
+    assert float(jnp.linalg.norm(r)) <= 2e-5 * float(jnp.linalg.norm(b))
+    # default on CPU: no auto attach
+    A2 = rt.laplacian_2d(12, dtype=np.float32)
+    rt.cg(A2, b, rel_tol=1e-5, max_iter=300)
+    assert getattr(A2, "_wjd_cache", None) is None
+
+
+def test_auto_route_collapsed_formats(rng):
+    """ELL/HYB/BCSR solver operands route through WJD with a notice when
+    auto_wjd is on (their XLA applies are gather-bound on TPU; reference
+    ships per-format device kernels instead)."""
+    from rocalution_tpu.config import set_auto_wjd
+
+    A = rt.laplacian_2d(12, dtype=np.float32)
+    b = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
+    set_auto_wjd(True)
+    try:
+        for fmt in ("ELL", "HYB", "BCSR"):
+            B = rt.convert(A, fmt)
+            xs, info = rt.cg(B, b, rel_tol=1e-5, max_iter=300)
+            assert getattr(B, "_wjd_cache", None) is not None, fmt
+            r = b - spmv(A, xs)
+            assert float(jnp.linalg.norm(r)) <= 2e-5 * float(
+                jnp.linalg.norm(b)), fmt
+    finally:
+        set_auto_wjd(None)
+
+
 def test_wjd_f64_float_float(rng):
     """f64 CSR builds the float-float WJD variant (hi+lo split exact);
     SpMV accuracy is f64-class, far beyond f32 (reference csrmv is natively
