@@ -103,26 +103,56 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6,
     csr = to_csr(A)
     data, cols, indptr = csr.numpy_triplet()
     n, ncol = csr.shape
-    square = n == ncol
     P = int(nparts)
+    nl = -(-n // P)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    blocks = []
+    for p in range(P):
+        m = (rows >= p * nl) & (rows < (p + 1) * nl)
+        blocks.append((rows[m] - p * nl, cols[m], data[m]))
+    return global_csr_from_blocks(
+        blocks, (n, ncol), max_neighbor_shifts=max_neighbor_shifts, wjd=wjd)
+
+
+def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
+                           wjd: bool | None = None) -> GlobalCSR:
+    """Assemble a GlobalCSR from per-part row blocks — the ParallelManager
+    construction core (reference: distribute_matrix, common.hpp:56-300, and
+    PM derivation for coarse operators, parallel_manager.hpp:204-212).
+
+    `blocks[p]` = (local_rows, global_cols, values) for the rows
+    [p*nl, (p+1)*nl) this part owns (nl = ceil(nrow/P)). Used directly by
+    the distributed AMG setup so no level is ever materialized as one
+    global matrix."""
+    P = len(blocks)
+    n, ncol = int(shape[0]), int(shape[1])
+    square = n == ncol
     nl = -(-n // P)
     ncl = nl if square else -(-ncol // P)
     n_pad = nl * P
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    dtype = next(
+        (np.asarray(b[2]).dtype for b in blocks if len(b[2])), np.float64)
+    part_r = [np.asarray(b[0], dtype=np.int64) for b in blocks]
+    part_c = [np.asarray(b[1], dtype=np.int64) for b in blocks]
+    part_d = [np.asarray(b[2]) for b in blocks]
     if square and n_pad > n:
+        # pad the tail part with inert unit-diagonal rows
+        p = P - 1
         extra = np.arange(n, n_pad, dtype=np.int64)
-        rows = np.concatenate([rows, extra])
-        cols = np.concatenate([cols, extra])
-        data = np.concatenate([data, np.ones(n_pad - n, dtype=data.dtype)])
-
-    owner = cols // ncl
-    row_owner = rows // nl
+        part_r[p] = np.concatenate([part_r[p], extra - p * nl])
+        part_c[p] = np.concatenate([part_c[p], extra])
+        part_d[p] = np.concatenate(
+            [part_d[p], np.ones(n_pad - n, dtype=dtype)])
+    for p in range(P):       # row-major order (segment_sum + WJD want it)
+        order = np.lexsort((part_c[p], part_r[p]))
+        part_r[p], part_c[p], part_d[p] = (
+            part_r[p][order], part_c[p][order], part_d[p][order])
 
     # ghost columns needed per part
     ghost_cols_of = []
     for p in range(P):
-        mask = (row_owner == p) & (owner != p)
-        ghost_cols_of.append(np.unique(cols[mask]))
+        owner_p = part_c[p] // ncl
+        ghost_cols_of.append(np.unique(part_c[p][owner_p != p]))
 
     # boundary (send) rows per part: union of other parts' ghost needs
     send_of = []
@@ -197,9 +227,8 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6,
     # split nnz per part into interior / ghost, renumber, pad
     int_d, int_c, int_r, gst_d, gst_c, gst_r = [], [], [], [], [], []
     for p in range(P):
-        rmask = row_owner == p
-        rp, cp, dp = rows[rmask] - p * nl, cols[rmask], data[rmask]
-        imask = owner[rmask] == p
+        rp, cp, dp = part_r[p], part_c[p], part_d[p]
+        imask = (cp // ncl) == p
         int_d.append(dp[imask])
         int_c.append(cp[imask] - p * ncl)
         int_r.append(rp[imask])
@@ -216,8 +245,7 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6,
     if wjd is None:
         from ..ops.spmv import _auto_wjd_on
 
-        wjd = _auto_wjd_on() and np.dtype(data.dtype) in (np.float32,
-                                                          np.float64)
+        wjd = _auto_wjd_on() and np.dtype(dtype) in (np.float32, np.float64)
     int_wjd = None
     if wjd:
         from ..formats.wjd import stack_wjd
@@ -231,16 +259,16 @@ def distribute_csr(A, nparts: int, max_neighbor_shifts: int = 6,
             triplets.append((d_s, c_s, np.cumsum(indptr)))
         int_wjd = stack_wjd(triplets, (nl, ncl))
 
-    def stack(parts, length, fill, dtype=None):
+    def stack(parts, length, fill, dt=None):
         out = np.stack([_pad1(x, length, fill) for x in parts])
-        return jnp.asarray(out if dtype is None else out.astype(dtype))
+        return jnp.asarray(out if dt is None else out.astype(dt))
 
     return GlobalCSR(
         int_wjd=int_wjd,
-        int_data=stack(int_d, nnz_int, 0, data.dtype),
+        int_data=stack(int_d, nnz_int, 0, dtype),
         int_cols=stack(int_c, nnz_int, 0, np.int32),
         int_rows=stack(int_r, nnz_int, nl - 1, np.int32),
-        ghost_data=stack(gst_d, nnz_gst, 0, data.dtype),
+        ghost_data=stack(gst_d, nnz_gst, 0, dtype),
         ghost_cols=stack(gst_c, nnz_gst, 0, np.int32),
         ghost_rows=stack(gst_r, nnz_gst, nl - 1, np.int32),
         send_idx=stack(send_of, max_send, 0, np.int32),

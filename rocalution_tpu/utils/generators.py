@@ -37,6 +37,33 @@ def laplacian_2d(n: int, dtype=None) -> CSR:
     )
 
 
+def laplacian_2d_block(n: int, row_lo: int, row_hi: int, dtype=None):
+    """Rows [row_lo, row_hi) of the 5-point 2D Laplacian as a COO block
+    (local_rows, global_cols, values) — per-rank local construction, the
+    weak-scaling-generator pattern (clients/samples/laplace_2d_weak_scaling
+    .cpp builds each rank's patch without the global matrix). Feed the
+    per-part blocks to `parallel.global_csr_from_blocks` /
+    `parallel.distributed_amg_setup`."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    idx = np.arange(row_lo, row_hi, dtype=np.int64)
+    ix = idx % n
+    iy = idx // n
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask] - row_lo)
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    add(np.ones(len(idx), dtype=bool), idx, idx, 4.0)
+    add(ix > 0, idx, idx - 1, -1.0)
+    add(ix < n - 1, idx, idx + 1, -1.0)
+    add(iy > 0, idx, idx - n, -1.0)
+    add(iy < n - 1, idx, idx + n, -1.0)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals))
+
+
 def anisotropic_laplacian_2d(n: int, epsilon: float = 0.1,
                              dtype=None) -> CSR:
     """Stretched/anisotropic 5-point Laplacian: -u_xx - eps*u_yy on an

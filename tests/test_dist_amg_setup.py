@@ -1,0 +1,108 @@
+"""Distributed AMG setup tests (VERDICT r2 item 5): hierarchy built from
+per-part row blocks with explicit boundary exchanges — never assembling a
+level as one matrix — and a sharded iterative coarse solve (reference:
+boundary-row CSR exchange + coarse-PM derivation, global_matrix.cpp:
+1444-1495,4041-4311, parallel_manager.hpp:204-212)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import rocalution_tpu as rt
+from rocalution_tpu.parallel import (dist_amg_solve_sharded,
+                                     distributed_amg_setup,
+                                     global_csr_from_blocks, make_mesh)
+from rocalution_tpu.parallel.amg_setup import _offsets, dist_sa_level
+from rocalution_tpu.solvers.krylov.cg import cg
+from rocalution_tpu.utils.generators import laplacian_2d_block
+
+NP = 4
+
+
+def _blocks_from_csr(A, nparts):
+    d, i, p = A.numpy_triplet()
+    rows = np.repeat(np.arange(A.shape[0], dtype=np.int64), np.diff(p))
+    offs = _offsets(nparts, A.shape[0])
+    out = []
+    for q in range(nparts):
+        m = (rows >= offs[q]) & (rows < offs[q + 1])
+        out.append((rows[m] - offs[q], i[m].astype(np.int64), d[m]))
+    return out, offs
+
+
+def _assemble(mats, offs, ncols):
+    coo_r, coo_c, coo_d = [], [], []
+    for q, m in enumerate(mats):
+        c = m.tocoo()
+        coo_r.append(c.row + offs[q])
+        coo_c.append(c.col)
+        coo_d.append(c.data)
+    return sp.csr_matrix(
+        (np.concatenate(coo_d), (np.concatenate(coo_r),
+                                 np.concatenate(coo_c))),
+        shape=(int(offs[-1]), ncols))
+
+
+def test_dist_sa_level_galerkin_exact():
+    """The distributed level's Ac equals R·A·P of the FULL operator —
+    the boundary-row exchanges carry every cross-part coupling."""
+    A = rt.laplacian_2d(16)
+    S = sp.csr_matrix(tuple(A.numpy_triplet()[i] for i in (0, 1, 2)),
+                      shape=A.shape)
+    blocks, offs = _blocks_from_csr(A, NP)
+    mats = [sp.csr_matrix((b[2], (b[0], b[1])),
+                          shape=(int(offs[q + 1] - offs[q]), A.shape[0]))
+            for q, b in enumerate(blocks)]
+    P_m, R_m, Ac_m, coffs = dist_sa_level(mats, offs, strategy="greedy")
+    NC = int(coffs[-1])
+    Pg = _assemble(P_m, offs, NC)
+    Rg = _assemble(R_m, coffs, A.shape[0])
+    Acg = _assemble(Ac_m, coffs, NC)
+    # R is exactly P^T
+    assert (Rg != Pg.T.tocsr()).nnz == 0
+    # Galerkin triple product of the FULL fine operator
+    ref = (Pg.T @ S @ Pg).tocsr()
+    diff = Acg - ref
+    assert np.abs(diff.data).max() if diff.nnz else 0.0 < 1e-12
+    assert NC < A.shape[0]
+
+
+def test_dist_amg_setup_and_solve_from_blocks():
+    """End-to-end: per-part generated blocks (global matrix NEVER formed)
+    -> distributed hierarchy -> sharded CG+AMG solve to 1e-8."""
+    n = 24
+    N = n * n
+    offs = _offsets(NP, N)
+    blocks = [laplacian_2d_block(n, int(offs[q]), int(offs[q + 1]))
+              for q in range(NP)]
+    dl = distributed_amg_setup(blocks, (N, N), coarse_size=60,
+                               strategy="greedy", wjd=False)
+    assert len(dl.As) >= 2
+    assert len(dl.Ps) == len(dl.As) - 1
+    # rhs for x_true = 1 computed from the blocks alone
+    b = np.zeros(N)
+    for q, (r, c, d) in enumerate(blocks):
+        np.add.at(b, r + int(offs[q]), d)
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(NP),
+                                     rel_tol=1e-8, max_iter=100)
+    assert int(info.status) in (1, 2)
+    err = np.linalg.norm(np.asarray(x) - 1.0)
+    assert err < 1e-5, err
+    # AMG actually helps: far fewer iterations than unpreconditioned CG
+    A = rt.laplacian_2d(n)
+    _, info_plain = rt.cg(A, b, rel_tol=1e-8, max_iter=500)
+    assert int(info.iterations) < int(info_plain.iterations) / 3
+
+
+def test_dist_amg_matches_single_part():
+    """nparts=1 distributed setup reproduces the same coarsening the
+    serial decoupled algorithm gives (sanity anchor)."""
+    A = rt.laplacian_2d(12)
+    blocks, offs = _blocks_from_csr(A, 1)
+    dl = distributed_amg_setup(blocks, A.shape, coarse_size=30,
+                               strategy="greedy", wjd=False)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(1),
+                                     rel_tol=1e-8, max_iter=100)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
