@@ -15,9 +15,10 @@ Architecture (vs. reference, see SURVEY.md):
 from . import backend
 from .backend import info, init, stop, sync
 from .config import (get_config, set_debug, set_default_dtype, set_verbose)
-from . import io, ops, precond, solvers
-from .formats import (BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR, Stencil,
-                      convert, laplace2d_stencil, laplace3d_stencil, to_csr)
+from . import io, ops, precond, solvers, utils
+from .formats import (BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR, WJD,
+                      Stencil, convert, laplace2d_stencil, laplace3d_stencil,
+                      to_csr)
 from .ops import blas1
 from .ops.spectral import gershgorin, power_method
 from .ops.spmv import spmv, spmv_add

@@ -92,3 +92,69 @@ def scale_diagonal(A: CSR, alpha: float) -> CSR:
     v = v.copy()
     v[r == c] *= alpha
     return CSR.from_coo(r, c, v, A.shape)
+
+
+def scale(A: CSR, alpha: float) -> CSR:
+    """alpha * A (reference: LocalMatrix::Scale)."""
+    r, c, v = _coo(A)
+    return CSR.from_coo(r, c, v * alpha, A.shape)
+
+
+def scale_off_diagonal(A: CSR, alpha: float) -> CSR:
+    """Off-diagonal entries scaled (LocalMatrix::ScaleOffDiagonal)."""
+    r, c, v = _coo(A)
+    v = v.copy()
+    v[r != c] *= alpha
+    return CSR.from_coo(r, c, v, A.shape)
+
+
+def add_scalar(A: CSR, alpha: float) -> CSR:
+    """alpha added to every STORED entry (LocalMatrix::AddScalar — the
+    reference mutates the nonzero pattern's values, not the dense form)."""
+    r, c, v = _coo(A)
+    return CSR.from_coo(r, c, v + alpha, A.shape)
+
+
+def add_scalar_diagonal(A: CSR, alpha: float) -> CSR:
+    """alpha added to stored diagonal entries
+    (LocalMatrix::AddScalarDiagonal)."""
+    r, c, v = _coo(A)
+    v = v.copy()
+    v[r == c] += alpha
+    return CSR.from_coo(r, c, v, A.shape)
+
+
+def add_scalar_off_diagonal(A: CSR, alpha: float) -> CSR:
+    """alpha added to stored off-diagonal entries
+    (LocalMatrix::AddScalarOffDiagonal)."""
+    r, c, v = _coo(A)
+    v = v.copy()
+    v[r != c] += alpha
+    return CSR.from_coo(r, c, v, A.shape)
+
+
+def compress(A: CSR, drop_off: float) -> CSR:
+    """Drop entries with |a_ij| <= drop_off, keeping the diagonal
+    (reference: LocalMatrix::Compress, local_matrix.cpp — diagonal is
+    always retained)."""
+    r, c, v = _coo(A)
+    sel = (np.abs(v) > drop_off) | (r == c)
+    return CSR.from_coo(r[sel], c[sel], v[sel], A.shape)
+
+
+def extract_column_vector(A: CSR, idx: int) -> np.ndarray:
+    """Dense column idx of A (LocalMatrix::ExtractColumnVector)."""
+    r, c, v = _coo(A)
+    out = np.zeros(A.shape[0], dtype=v.dtype)
+    sel = c == idx
+    out[r[sel]] = v[sel]
+    return out
+
+
+def extract_row_vector(A: CSR, idx: int) -> np.ndarray:
+    """Dense row idx of A (LocalMatrix::ExtractRowVector)."""
+    r, c, v = _coo(A)
+    out = np.zeros(A.shape[1], dtype=v.dtype)
+    sel = r == idx
+    out[c[sel]] = v[sel]
+    return out

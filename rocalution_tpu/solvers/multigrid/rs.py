@@ -110,12 +110,15 @@ def greedy_coarsening(Sgraph, second_pass: bool = True) -> np.ndarray:
         cf = native.rs_coarsening(Sgraph.indptr, Sgraph.indices,
                                   ST.indptr, ST.indices, cf, second_pass)
         return cf == 1
-    # numpy fallback (same algorithm, heap-free reference implementation)
+    # numpy fallback (same algorithm, heap-free reference implementation;
+    # tie-break = LARGEST index among max-lambda nodes, matching the
+    # native sweep's std::set<(lambda, node)> max-end pop so both produce
+    # the identical C/F split — tested in test_amg.py)
     lam = np.where(cf == 0, np.diff(ST.indptr), -1).astype(np.int64)
     sp_, si_ = Sgraph.indptr, Sgraph.indices
     tp_, ti_ = ST.indptr, ST.indices
     while True:
-        i = int(np.argmax(lam))
+        i = n - 1 - int(np.argmax(lam[::-1]))
         if lam[i] < 0:
             break
         cf[i] = 1

@@ -212,3 +212,38 @@ def test_host_levels_offload(rng):
     assert np.linalg.norm(np.asarray(x1) - 1.0) < 1e-6
     # same algorithm, host-executed tail: iteration counts match closely
     assert abs(int(i0.iterations) - int(i1.iterations)) <= 1
+
+
+def test_rs_native_fallback_equivalence(rng):
+    """Native C++ RS coarsening sweep and the numpy fallback produce the
+    IDENTICAL C/F split on the same strength graph (same algorithm, same
+    largest-index tie-break)."""
+    import scipy.sparse as sp
+    from rocalution_tpu import native
+    from rocalution_tpu.solvers.multigrid.rs import (classical_strength,
+                                                     greedy_coarsening)
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    for A in (rt.laplacian_2d(15), rt.anisotropic_laplacian_2d(12, 0.1),
+              rt.convection_diffusion_2d(10)):
+        d, i, p = A.numpy_triplet()
+        S = classical_strength(sp.csr_matrix((d, i, p), shape=A.shape), 0.25)
+        for second in (False, True):
+            ST = S.T.tocsr()
+            ST.sort_indices()
+            iso = (np.diff(S.indptr) == 0) & (np.diff(ST.indptr) == 0)
+            cf0 = np.where(iso, np.int8(2), np.int8(0))
+            got_native = native.rs_coarsening(
+                S.indptr, S.indices, ST.indptr, ST.indices, cf0.copy(),
+                second) == 1
+
+            import rocalution_tpu.native as nat
+            orig = nat.available
+            nat.available = lambda: False   # force the numpy fallback
+            try:
+                got_py = greedy_coarsening(S, second_pass=second)
+            finally:
+                nat.available = orig
+            np.testing.assert_array_equal(got_native, got_py)

@@ -5,6 +5,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 import numpy as np
 
 import rocalution_tpu as rt
@@ -51,3 +53,34 @@ def test_matrix_key():
     D = rt.CSR.from_arrays(d * 2.0, i, p, A.shape)
     ka, kd = matrix_key(A), matrix_key(D)
     assert ka[0] == kd[0] and ka[1] == kd[1] and ka[2] != kd[2]
+
+
+@pytest.mark.parametrize("sample", [
+    "qmrcgstab", "sa_amg", "amg", "global_cg_amg", "cg", "stencil",
+])
+def test_sample_runs(sample):
+    """Sample programs execute and report convergence (reference: the
+    samples double as smoke tests, docs/contribution/clients.rst)."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "clients", "samples", f"{sample}.py")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        f"import runpy; runpy.run_path({path!r}, run_name='__main__')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=420,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "PYTHONPATH": root,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import re
+
+    errs = re.findall(r"err=([0-9.e+-]+)", out.stdout)
+    converged = ("status=1" in out.stdout or "status=2" in out.stdout
+                 or (errs and float(errs[-1]) < 1e-3))
+    assert converged, out.stdout

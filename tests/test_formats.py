@@ -67,3 +67,45 @@ def test_rectangular_csr(rng):
 def test_transpose_host(A, rng):
     At = A.transpose_host()
     np.testing.assert_allclose(dense_of(At), dense_of(A).T, atol=0)
+
+
+def test_localmatrix_scale_addscalar_family(rng):
+    """LocalMatrix Scale/AddScalar family + Compress + row/column
+    extraction (local_matrix.hpp:128-1327 op tail)."""
+    import scipy.sparse as sp
+    from rocalution_tpu.ops.extract import (add_scalar, add_scalar_diagonal,
+                                            add_scalar_off_diagonal,
+                                            compress, extract_column_vector,
+                                            extract_row_vector, scale,
+                                            scale_diagonal,
+                                            scale_off_diagonal)
+
+    A = rt.laplacian_2d(6)
+    d, i, p = A.numpy_triplet()
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+
+    def dense(M):
+        dd, ii, pp = M.numpy_triplet()
+        return sp.csr_matrix((dd, ii, pp), shape=M.shape).toarray()
+
+    D = S.toarray()
+    offd = D - np.diag(np.diag(D))
+    np.testing.assert_allclose(dense(scale(A, 2.5)), 2.5 * D)
+    np.testing.assert_allclose(dense(scale_diagonal(A, 3.0)),
+                               offd + 3.0 * np.diag(np.diag(D)))
+    np.testing.assert_allclose(dense(scale_off_diagonal(A, 0.5)),
+                               0.5 * offd + np.diag(np.diag(D)))
+    # AddScalar acts on STORED entries only (reference semantics)
+    mask = (np.abs(D) > 0)
+    np.testing.assert_allclose(dense(add_scalar(A, 1.0)), D + mask * 1.0)
+    np.testing.assert_allclose(dense(add_scalar_diagonal(A, -2.0)),
+                               D - 2.0 * np.eye(A.shape[0]))
+    np.testing.assert_allclose(
+        dense(add_scalar_off_diagonal(A, 1.0)),
+        D + (mask - np.eye(A.shape[0])) * 1.0)
+    # Compress drops small off-diagonals, keeps the diagonal
+    Cm = compress(A, 1.5)
+    np.testing.assert_allclose(dense(Cm), np.diag(np.diag(D)) +
+                               np.where(np.abs(offd) > 1.5, offd, 0.0))
+    np.testing.assert_allclose(extract_column_vector(A, 3), D[:, 3])
+    np.testing.assert_allclose(extract_row_vector(A, 7), D[7, :])
