@@ -25,7 +25,7 @@ extern "C" {
 // In-place IKJ ILU(0) on a CSR matrix with sorted column indices.
 // After return, data holds L (strict lower, unit diagonal implied) and U
 // (upper incl diagonal) in place.
-int rt_ilu0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
+int64_t rt_ilu0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
                 double* data) {
     std::vector<int64_t> dp(n, -1);        // diagonal position per row
     std::vector<int64_t> pos(n, -1);       // column -> position map (scratch)
@@ -35,11 +35,11 @@ int rt_ilu0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
             pos[cols[p]] = p;
             if (cols[p] == i) dp[i] = p;
         }
-        if (dp[i] < 0) return -(int)i - 1;  // no diagonal
+        if (dp[i] < 0) return -i - 1;  // no diagonal
         for (int64_t p = rs; p < re && cols[p] < i; ++p) {
             const int64_t k = cols[p];
             const double dk = data[dp[k]];
-            if (dk == 0.0) return -(int)k - 1;
+            if (dk == 0.0) return -k - 1;
             const double lik = data[p] / dk;
             data[p] = lik;
             for (int64_t q = dp[k] + 1; q < indptr[k + 1]; ++q) {
@@ -54,7 +54,7 @@ int rt_ilu0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
 
 // In-place IC(0) on the LOWER triangle (cols <= row, sorted, diagonal last
 // in each row). After return, data holds L with A ~= L L^T.
-int rt_ic0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
+int64_t rt_ic0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
                double* data) {
     std::vector<int64_t> pos(n, -1);
     for (int64_t i = 0; i < n; ++i) {
@@ -69,13 +69,13 @@ int rt_ic0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
                 if (t >= 0 && t < p) s += data[t] * data[q];
             }
             const double djj = data[je - 1];
-            if (djj == 0.0) return -(int)j - 1;
+            if (djj == 0.0) return -j - 1;
             data[p] = (data[p] - s) / djj;
         }
         double s = 0.0;
         for (int64_t p = rs; p < re - 1; ++p) s += data[p] * data[p];
         const double v = data[re - 1] - s;
-        if (v <= 0.0) return -(int)i - 1;
+        if (v <= 0.0) return -i - 1;
         data[re - 1] = std::sqrt(v);
         for (int64_t p = rs; p < re; ++p) pos[cols[p]] = -1;
     }
@@ -86,7 +86,7 @@ int rt_ic0_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
 // Outputs: per-row L (strict lower) and U (diag first, then upper) packed
 // into caller-allocated arrays of capacity n*maxfill (L) and n*(maxfill+1)
 // (U); l_count/u_count give entries per row.
-int rt_ilut_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
+int64_t rt_ilut_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
                 const double* data, double tol, int64_t maxfill,
                 int32_t* l_cols, double* l_vals, int64_t* l_count,
                 int32_t* u_cols, double* u_vals, int64_t* u_count) {
@@ -132,7 +132,7 @@ int rt_ilut_csr(int64_t n, const int64_t* indptr, const int32_t* cols,
                 w[c] -= lik * uv[q];
             }
         }
-        if (w[i] == 0.0) return -(int)i - 1;
+        if (w[i] == 0.0) return -i - 1;
 
         // split + threshold + keep largest `maxfill`
         std::vector<std::pair<double, int64_t>> lw, uw;

@@ -59,11 +59,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     f64p = ctypes.POINTER(ctypes.c_double)
-    lib.rt_ilu0_csr.restype = ctypes.c_int
+    lib.rt_ilu0_csr.restype = ctypes.c_int64
     lib.rt_ilu0_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p]
-    lib.rt_ic0_csr.restype = ctypes.c_int
+    lib.rt_ic0_csr.restype = ctypes.c_int64
     lib.rt_ic0_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p]
-    lib.rt_ilut_csr.restype = ctypes.c_int
+    lib.rt_ilut_csr.restype = ctypes.c_int64
     lib.rt_ilut_csr.argtypes = [
         ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double, ctypes.c_int64,
         i32p, f64p, i64p, i32p, f64p, i64p,
