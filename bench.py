@@ -160,7 +160,7 @@ def main():
         return best, int(iters), float(res)
 
     # ============ 1. headline: WJD CSR SpMV (3D Laplacian, 1M rows) ======
-    n = 100  # 1e6 rows, ~6.94M nnz
+    n = int(os.environ.get("BENCH_N", "100"))  # 1e6 rows, ~6.94M nnz
     A = rt.laplacian_3d(n, dtype=dtype)
     nnz = A.nnz
     N = A.shape[0]
@@ -215,6 +215,38 @@ def main():
 
     section("f64", 30, sec_f64)
 
+    # ============ 3b. sharded-path SpMV (1-part shard_map, same chip) ====
+    # The distributed code path (shard_map + halo machinery + per-shard WJD
+    # interior) must stay within ~2x of the serial WJD rate — the reference
+    # runs the SAME csrmv on every rank's interior (global_matrix.cpp:
+    # 976-1007). One part on one chip isolates the path overhead.
+    def sec_shard1():
+        from jax.sharding import PartitionSpec as Pspec
+
+        from rocalution_tpu.parallel import distribute_csr, make_mesh
+        from rocalution_tpu.parallel.ops import shard_spmv
+
+        Ag = distribute_csr(A, 1, wjd=True)
+        mesh = make_mesh(1)
+        fn = jax.shard_map(
+            lambda Ash, xs: shard_spmv(Ash, xs[0], "p")[None],
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: Pspec("p"), Ag), Pspec("p")),
+            out_specs=Pspec("p"),
+            check_vma=False,      # pallas out_shapes carry no vma info
+        )
+        xs = x[None][:, : Ag.n_local]
+        pad = Ag.n_local - N
+        if pad > 0:
+            xs = jnp.concatenate(
+                [x[None], jnp.zeros((1, pad), x.dtype)], axis=1)
+        t = chain_time(lambda c: fn(Ag, c) * scale, xs, budget_s=0.15,
+                       probe=20)
+        results["spmv_csr_shard1_gbps"] = spmv_bytes / t / 1e9
+        log(f"  spmv[csr shard_map x1] {t*1e6:9.1f} us/op")
+
+    section("shard1", 40, sec_shard1)
+
     # ============ 4. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
     def sec_blas1():
         t_axpy = chain_time(lambda c: c + np.float32(1e-6) * y, x)
@@ -232,7 +264,8 @@ def main():
 
     # ============ 5. unstructured (banded random SPD, 1M rows) ===========
     def sec_rand():
-        Ar = rt.random_banded_spd(1_000_000, dtype=dtype)
+        Ar = rt.random_banded_spd(
+            int(os.environ.get("BENCH_RAND_N", "1000000")), dtype=dtype)
         attach_wjd(Ar)
         xr = jax.device_put(
             (np.random.default_rng(3).standard_normal(Ar.shape[0]) / 1e6)

@@ -109,6 +109,19 @@ def to_csr(mat) -> CSR:
         )
     if isinstance(mat, DENSE):
         return CSR.from_dense(get_host(mat, "data"))
+    from .wjd import ComplexWJD
+
+    if isinstance(mat, ComplexWJD):
+        re = to_csr(mat.re)
+        im = to_csr(mat.im)
+        rr, rc, rv = re.numpy_rows(), get_host(re, "indices"), get_host(re, "data")
+        ir, icx, iv = im.numpy_rows(), get_host(im, "indices"), get_host(im, "data")
+        return CSR.from_coo(
+            np.concatenate([rr, ir]), np.concatenate([rc, icx]),
+            np.concatenate([rv.astype(np.dtype(mat.value_dtype)),
+                            1j * iv.astype(np.dtype(mat.value_dtype))]),
+            mat.re.shape,
+        )
     if isinstance(mat, WJD):
         # reconstruct COO from slot vregs (explicit zeros are dropped, like
         # every padded-format round trip: ELL/DIA do the same)

@@ -43,7 +43,7 @@ csrmv_analysis setup stage, reported separately as `time_analyze`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -102,10 +102,15 @@ class WJD(MatrixBase):
 
 
 # per-slot kernel cost model (ns, v5e-measured): base + gathers; spilled
-# entries pay the XLA segment-sum rate (~25 ns/nnz measured round 1)
+# entries pay the XLA segment-sum rate (~25 ns/nnz measured round 1).
+# The float-float (f64) kernel gathers BOTH x planes and runs ~20 extra
+# VPU ops of compensated arithmetic per slot; its spill rides emulated-f64
+# XLA (~2x).
 _COST_BASE = 12.0
 _COST_GATHER = 7.6
 _COST_SPILL = 25.0
+_FF_COST_BASE = 32.0
+_FF_COST_SPILL = 50.0
 
 
 def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
@@ -164,17 +169,20 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
         """
         _, _, _, k_of_slot, inv = p
         nj = (1 << wl) // 128 + 1
-        slot_cost = _COST_BASE + nj * _COST_GATHER
+        ff = np.dtype(vals.dtype) == np.float64
+        slot_cost = ((_FF_COST_BASE + 2 * nj * _COST_GATHER) if ff
+                     else (_COST_BASE + nj * _COST_GATHER))
+        spill_cost = _FF_COST_SPILL if ff else _COST_SPILL
         kmax = int(k_of_slot.max()) + 1
         hist = np.bincount(k_of_slot[inv], minlength=kmax).astype(np.int64)
         suffix = np.concatenate([np.cumsum(hist[::-1])[::-1], [0]])
         caps = np.arange(1, kmax + 1)
-        costs = T * caps * slot_cost + suffix[caps] * _COST_SPILL
+        costs = T * caps * slot_cost + suffix[caps] * spill_cost
         best_i = int(np.argmin(costs))
         cap = int(caps[best_i])
         if max_slots is not None and cap > max_slots:
             cap = max_slots
-        cost = float(T * cap * slot_cost + suffix[cap] * _COST_SPILL)
+        cost = float(T * cap * slot_cost + suffix[cap] * spill_cost)
         return cost, cap
 
     if wlog == "auto":
@@ -301,9 +309,30 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     )
 
 
-def from_csr(A, **kwargs) -> WJD:
-    """Convert a CSR pytree (host-built) to WJD."""
+class ComplexWJD(NamedTuple):
+    """Complex fast-apply = two real WJD planes (re, im): the TPU answer
+    to the reference's c/z csrmv instantiations (hip_sparse.hpp
+    rocsparseCcsrmv/Zcsrmv). y = (Ar x_r - Ai x_i) + i(Ar x_i + Ai x_r);
+    complex64 rides the f32 kernel, complex128 the float-float kernel."""
+
+    re: WJD
+    im: WJD
+    value_dtype: str
+
+
+def from_csr(A, **kwargs):
+    """Convert a CSR pytree (host-built) to WJD (ComplexWJD for complex
+    values)."""
     d, i, p = A.numpy_triplet()
+    if np.iscomplexobj(d):
+        real_dt = np.float64 if d.dtype == np.complex128 else np.float32
+        return ComplexWJD(
+            re=csr_to_wjd(np.ascontiguousarray(d.real).astype(real_dt),
+                          i, p, A.shape, **kwargs),
+            im=csr_to_wjd(np.ascontiguousarray(d.imag).astype(real_dt),
+                          i, p, A.shape, **kwargs),
+            value_dtype=np.dtype(d.dtype).name,
+        )
     return csr_to_wjd(d, i, p, A.shape, **kwargs)
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..formats import BCSR, COO, CSR, DENSE, DIA, ELL, HYB, MCSR, WJD
 from ..formats.stencil import Stencil
+from ..formats.wjd import ComplexWJD
 
 
 @functools.singledispatch
@@ -56,11 +57,22 @@ def _spmv_wjd(A: WJD, x):
     return wjd_spmv(A, x)
 
 
+@spmv.register(ComplexWJD)
+def _spmv_cwjd(A: ComplexWJD, x):
+    """Complex apply = 4 real plane applies (the c/z csrmv analog):
+    y = (Ar x_r - Ai x_i) + i (Ar x_i + Ai x_r)."""
+    xr = jnp.real(x)
+    xi = jnp.imag(x) if jnp.iscomplexobj(x) else jnp.zeros_like(xr)
+    yr = _spmv_wjd(A.re, xr) - _spmv_wjd(A.im, xi)
+    yi = _spmv_wjd(A.re, xi) + _spmv_wjd(A.im, xr)
+    return jax.lax.complex(yr, yi)
+
+
 @spmv.register(CSR)
 def _spmv_csr(A: CSR, x):
     wjd = getattr(A, "_wjd_cache", None)
     if wjd is not None and _use_pallas(wjd, x.dtype):
-        return _spmv_wjd(wjd, x)
+        return spmv(wjd, x)
     prod = _expand(A.data, x[A.indices])
     return jax.ops.segment_sum(
         prod, A.row_ids, num_segments=A.shape[0], indices_are_sorted=True
@@ -70,8 +82,16 @@ def _spmv_csr(A: CSR, x):
 def _use_pallas(wjd, xdt) -> bool:
     """Can this WJD cache serve a rhs of dtype `xdt`? f32/bf16 ride the
     native kernel; f64 rides the float-float kernel iff the cache was
-    built from f64 values (data_lo present)."""
+    built from f64 values (data_lo present); complex rides the matching
+    two-plane ComplexWJD."""
     xdt = jnp.dtype(xdt)
+    if isinstance(wjd, ComplexWJD):
+        ff = wjd.re.data_lo is not None
+        if xdt in (jnp.dtype(jnp.complex64), jnp.dtype(jnp.float32)):
+            return not ff
+        if xdt in (jnp.dtype(jnp.complex128), jnp.dtype(jnp.float64)):
+            return ff
+        return False
     if xdt in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return wjd.data_lo is None
     if xdt == jnp.dtype(jnp.float64):
@@ -100,7 +120,8 @@ def _wjd_eligible(A: CSR) -> bool:
     cache = getattr(A, "_host_cache", None)
     if not cache or "data" not in cache:
         return False
-    return np.dtype(cache["data"].dtype) in (np.float32, np.float64)
+    return np.dtype(cache["data"].dtype) in (
+        np.float32, np.float64, np.complex64, np.complex128)
 
 
 # formats whose XLA apply collapses on TPU (gather-serialized: measured
@@ -166,7 +187,7 @@ def _routed(A, x):
     """Serve a collapsed-format apply through an attached WJD cache."""
     wjd = getattr(A, "_wjd_cache", None)
     if wjd is not None and _use_pallas(wjd, x.dtype):
-        return _spmv_wjd(wjd, x)
+        return spmv(wjd, x)
     return None
 
 

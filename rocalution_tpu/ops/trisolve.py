@@ -159,7 +159,7 @@ def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
     `nlevels` sweeps, good after far fewer for diagonally-dominant factors.
     """
     from ..precond.jacobi import extract_diagonal
-    from .spmv import spmv
+    from .spmv import maybe_attach_wjd, spmv
 
     if unit_diag:
         inv_d = jnp.ones((T.shape[0],), b.dtype)
@@ -167,14 +167,30 @@ def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
         d = extract_diagonal(T)
         inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
-    is_off = T.row_ids != T.indices
-    N = CSR(
-        data=jnp.where(is_off, T.data, 0.0),
-        indices=T.indices,
-        indptr=T.indptr,
-        row_ids=T.row_ids,
-        shape=T.shape,
-    )
+    # off-diagonal part: built ONCE host-side when T is a host factor and
+    # cached on T, so the per-iteration sweep SpMV can ride the WJD fast
+    # path (the reference's csritsv runs its optimized kernels likewise);
+    # traced fallback otherwise.
+    N = getattr(T, "_offd_cache", None)
+    if N is None:
+        cache = getattr(T, "_host_cache", None)
+        if cache and "data" in cache:
+            import numpy as np
+
+            dh, ih, ph = T.numpy_triplet()
+            rh = T.numpy_rows()
+            N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape)
+            maybe_attach_wjd(N)
+            object.__setattr__(T, "_offd_cache", N)
+        else:
+            is_off = T.row_ids != T.indices
+            N = CSR(
+                data=jnp.where(is_off, T.data, 0.0),
+                indices=T.indices,
+                indptr=T.indptr,
+                row_ids=T.row_ids,
+                shape=T.shape,
+            )
 
     def expand(v):
         return v if b.ndim == 1 else v[:, None]

@@ -188,6 +188,7 @@ def test_dist_wjd_interior_spmv(problem, rng):
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P("p"), Ag), P("p")),
         out_specs=P("p"),
+        check_vma=False,      # pallas out_shapes carry no vma info
     )
     y = np.asarray(gather_vector(fn(Ag, xp), Ag.n_global))
     np.testing.assert_allclose(y, np.asarray(rt.spmv(A, x)), rtol=1e-12)

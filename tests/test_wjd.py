@@ -235,3 +235,34 @@ def test_wjd_cg_end_to_end(rng):
     assert int(info.iterations) == int(info_ref.iterations)
     r = b - spmv(A, xs)
     assert float(jnp.linalg.norm(r)) <= 1.2e-5 * float(jnp.linalg.norm(b))
+
+
+def test_wjd_complex(rng):
+    """Complex matrices ride two real WJD planes (the c/z csrmv analog):
+    complex64 on the f32 kernel, complex128 on the float-float kernel."""
+    from rocalution_tpu.formats.wjd import ComplexWJD
+
+    for cdt, tol in ((np.complex64, 2e-5), (np.complex128, 1e-13)):
+        A = _rand_csr(rng, 400, 400, density=0.01, dtype=np.float64)
+        d, i, p = A.numpy_triplet()
+        dc = (d + 1j * rng.standard_normal(len(d))).astype(cdt)
+        Ac = rt.CSR.from_arrays(dc, i, p, A.shape)
+        W = rt.convert(Ac, "WJD")
+        assert isinstance(W, ComplexWJD)
+        x = (rng.standard_normal(400) + 1j * rng.standard_normal(400)
+             ).astype(cdt)
+        S = sp.csr_matrix((dc, i, p), shape=A.shape)
+        ref = S @ x
+        got = np.asarray(spmv(W, jnp.asarray(x)))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < tol, (cdt, rel)
+        # attach path + round-trip back to CSR
+        attach_wjd(Ac)
+        got2 = np.asarray(spmv(Ac, jnp.asarray(x)))
+        assert np.linalg.norm(got2 - ref) / np.linalg.norm(ref) < tol
+        back = rt.convert(W, "CSR")
+        d2, i2, p2 = back.numpy_triplet()
+        S2 = sp.csr_matrix((d2, i2, p2), shape=A.shape)
+        # float-float stores 2x24-bit mantissas: values round-trip to
+        # ~2^-48 relative (exact only when f32-representable)
+        assert abs(S2 - S).max() < (1e-6 if cdt == np.complex64 else 1e-13)
