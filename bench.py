@@ -182,7 +182,17 @@ def main():
         t = chain_time(lambda c: spmv(A, c) * scale, x)
         results["spmv_csr_gbps"] = spmv_bytes / t / 1e9
         results["spmv_csr_gflops"] = 2 * nnz / t / 1e9
-        log(f"  spmv[csr/wjd] {t*1e6:9.1f} us/op")
+        # own byte model (actual streamed bytes, like DIA's): slot values
+        # (+ uloc in gather mode) + x read + y write — can never exceed
+        # the physical roofline
+        W = A._wjd_cache
+        Tp, K = W.brow.shape
+        slot_bytes = Tp * K * 1024 * (vsize + (1 if W.kernel_mode ==
+                                               "gather" else 0))
+        own = slot_bytes + 2 * N * vsize
+        results["spmv_csr_own_model_gbps"] = own / t / 1e9
+        results["wjd_roll_mode"] = 1.0 if W.kernel_mode == "roll" else 0.0
+        log(f"  spmv[csr/wjd:{W.kernel_mode}] {t*1e6:9.1f} us/op")
 
     section("wjd_csr", 0, sec_wjd_csr)
 

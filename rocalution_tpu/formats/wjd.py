@@ -58,6 +58,11 @@ def _load_rows(nj: int) -> int:
     return -(-(8 + nj) // 8) * 8
 
 
+def nj_of(wlog: int) -> int:
+    """Gather candidates per slot for a window of 2**wlog."""
+    return (1 << wlog) // 128 + 1
+
+
 @register_format
 @dataclasses.dataclass(frozen=True)
 class WJD(MatrixBase):
@@ -79,6 +84,12 @@ class WJD(MatrixBase):
     data_lo: Optional[jnp.ndarray] = None
     shape: Tuple[int, int] = static_field(default=(0, 0))
     value_dtype: str = static_field(default="float32")  # logical value dtype
+    # "gather": nj lane-shuffles per slot (general sparsity).
+    # "roll": every slot has ONE diagonal offset u (banded/stencil
+    # matrices; off-mode entries were spilled at conversion) — the column
+    # resolve is a single dynamic lane-rotate of the x window and the
+    # uloc plane is not streamed at all (~2x less traffic + fewer ops).
+    kernel_mode: str = static_field(default="gather")
     pad_lo: int = static_field(default=0)    # zeros prepended to x
     xp_len: int = static_field(default=0)    # padded x length (multiple of 128)
     nnz: int = static_field(default=0)
@@ -111,15 +122,28 @@ _COST_GATHER = 7.6
 _COST_SPILL = 25.0
 _FF_COST_BASE = 32.0
 _FF_COST_SPILL = 50.0
+# roll-mode slots: no gathers, no uloc streaming — 2 window loads +
+# 2 lane-rotates + select (estimates pending hardware recalibration)
+_COST_ROLL = 10.0
+_FF_COST_ROLL = 18.0
 
 
 def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
-               max_slots: Optional[int] = 128) -> WJD:
+               max_slots: Optional[int] = 128,
+               kernel_mode: str = "auto") -> WJD:
     """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
 
     ``max_slots`` caps slots per tile; entries in hotter slots spill to a
     COO tail handled by the XLA segment-sum path (the HYB ELL+COO split of
     the reference, matrix_formats.hpp:127-136, re-targeted at tile slots).
+
+    ``kernel_mode``: "gather" | "roll" | "auto". Roll slots are keyed by
+    (tile, DIAGONAL) — true jagged-diagonal storage with holes — so every
+    slot has one offset, the kernel resolves columns with a single dynamic
+    lane-rotate, and the uloc plane is never streamed. Stencil/banded
+    matrices get this for free (slot count = diagonals per tile, zero
+    extra spill); scattered matrices stay in gather mode (slot count would
+    explode). "auto" picks by the per-slot cost model.
     """
     n, m = int(shape[0]), int(shape[1])
     vals = np.asarray(vals)
@@ -185,20 +209,73 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
         cost = float(T * cap * slot_cost + suffix[cap] * spill_cost)
         return cost, cap
 
-    if wlog == "auto":
+    def plan_roll(wl):
+        """Slots keyed by (tile, diagonal): jagged-diagonal layout. Rank is
+        identically 0 — one slot per distinct diagonal per tile."""
+        dmin = int(d.min())
+        dspan = int(d.max()) - dmin + 1
+        enc = t * dspan + (d - dmin)
+        slot_enc, inv_r = np.unique(enc, return_inverse=True)
+        slot_t_r = slot_enc // dspan
+        slot_d = slot_enc % dspan + dmin
+        tile_first = np.searchsorted(slot_t_r, np.arange(T, dtype=np.int64))
+        k_of_slot_r = (np.arange(len(slot_enc), dtype=np.int64)
+                       - tile_first[slot_t_r])
+        return (slot_d >> wl, slot_t_r, slot_d >> wl, k_of_slot_r, inv_r,
+                slot_d)
+
+    def cap_cost(k_of_slot_, inv_, slot_cost, spill_cost):
+        kmax = int(k_of_slot_.max()) + 1
+        hist = np.bincount(k_of_slot_[inv_], minlength=kmax).astype(np.int64)
+        suffix = np.concatenate([np.cumsum(hist[::-1])[::-1], [0]])
+        caps = np.arange(1, kmax + 1)
+        costs = T * caps * slot_cost + suffix[caps] * spill_cost
+        best_i = int(np.argmin(costs))
+        cap = int(caps[best_i])
+        if max_slots is not None and cap > max_slots:
+            cap = max_slots
+        return float(T * cap * slot_cost + suffix[cap] * spill_cost), cap
+
+    ff_vals = np.dtype(vals.dtype) == np.float64
+    spill_c = _FF_COST_SPILL if ff_vals else _COST_SPILL
+    roll_c = _FF_COST_ROLL if ff_vals else _COST_ROLL
+
+    # gather candidate (window/rank slots, auto window width)
+    cost_g = cap_g = plan_g = wl_g = None
+    if kernel_mode != "roll":
         best = None
-        for wl in (8, 10, 11):
+        wls = (8, 10, 11) if wlog == "auto" else (wlog,)
+        for wl in wls:
             p = plan(wl)
             c, cap = cost_of(wl, p)
             if best is None or c < best[0]:
                 best = (c, wl, cap, p)
-            if len(p[3]) * TILE < 2 * nnz:   # already tight: stop widening
-                break
-        _, wlog, cap, (wid, slot_t, slot_wid, k_of_slot, inv) = best
+            if wlog == "auto" and len(p[3]) * TILE < 2 * nnz:
+                break                        # already tight: stop widening
+        cost_g, wl_g, cap_g, plan_g = best
+
+    # roll candidate (diagonal slots, fixed 256-wide windows)
+    cost_r = cap_r = plan_r = None
+    if kernel_mode != "gather":
+        wl_r = 8 if wlog == "auto" else int(wlog)
+        plan_r = plan_roll(wl_r)
+        cost_r, cap_r = cap_cost(plan_r[3], plan_r[4], roll_c, spill_c)
+
+    if kernel_mode == "roll" or (kernel_mode == "auto"
+                                 and cost_r is not None
+                                 and (cost_g is None or cost_r < cost_g)):
+        kernel_mode = "roll"
+        wlog = 8 if wlog == "auto" else int(wlog)
+        wid, slot_t, slot_wid, k_of_slot, inv, slot_d = plan_r
+        cap = cap_r
+        # per-entry wid for the u computation below
+        wid = d >> wlog
     else:
-        p = plan(wlog)
-        _, cap = cost_of(wlog, p)
-        wid, slot_t, slot_wid, k_of_slot, inv = p
+        kernel_mode = "gather"
+        wlog = wl_g
+        cap = cap_g
+        wid, slot_t, slot_wid, k_of_slot, inv = plan_g
+        slot_d = None
 
     k_of_entry = k_of_slot[inv]
     u = (d - (wid << wlog)).astype(np.int64)       # in [0, win)
@@ -214,6 +291,8 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
         slot_sel = np.flatnonzero(keep_slot)
         slot_t, slot_wid = slot_t[slot_sel], slot_wid[slot_sel]
         k_of_slot = k_of_slot[slot_sel]
+        if slot_d is not None:
+            slot_d = slot_d[slot_sel]
         K = cap
     else:
         spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -221,8 +300,15 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
         rows_k, vals_k, u_k, t_k, k_e = rows, vals, u, t, k_of_entry
         K = int(k_of_slot.max()) + 1
 
+    # roll mode: per-slot diagonal offset (constant by construction)
+    mode_u = None
+    if kernel_mode == "roll":
+        mode_u = np.zeros(T * K, np.int64)
+        mode_u[slot_t * K + k_of_slot] = slot_d - (slot_wid << wlog)
+
     return _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
-                     spill=spill, slot_info=(slot_t, slot_wid, k_of_slot))
+                     spill=spill, slot_info=(slot_t, slot_wid, k_of_slot),
+                     kernel_mode=kernel_mode, mode_u=mode_u)
 
 
 def _auto_group(K: int) -> int:
@@ -232,7 +318,7 @@ def _auto_group(K: int) -> int:
 
 
 def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
-              *, spill, slot_info=None):
+              *, spill, slot_info=None, kernel_mode="gather", mode_u=None):
     win = 1 << wlog
     nj = win // 128 + 1
     group = _auto_group(K)
@@ -258,19 +344,32 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         pad_lo = -(-pad_lo // 128) * 128
         brow_arr[slot_t, k_of_slot] = (b + pad_lo) >> 7
 
-        # diagonal slots: every REAL entry shares one u -> pad holes with it
-        # so a kernel may take a gather-free roll path.
-        occ = np.zeros((Tp, K, 8, 128), dtype=bool)
-        occ[t_k, k_e, s, l] = True
-        u_masked = np.where(occ, u_arr, -1)
-        u_max = u_masked.reshape(Tp, K, -1).max(axis=2)
-        u_min_real = np.where(occ, u_arr, win).reshape(Tp, K, -1).min(axis=2)
-        is_diag = (u_max == u_min_real) & (u_max >= 0)
-        diag_arr = np.where(is_diag, u_max, -1).astype(np.int32)
-        fill = np.broadcast_to(np.maximum(u_max, 0)[:, :, None, None],
-                               u_arr.shape)
-        u_arr = np.where(occ, u_arr, np.where(is_diag[:, :, None, None],
-                                              fill, 0)).astype(np.int32)
+        if kernel_mode == "roll":
+            # every slot was forced to one u at conversion: diag_u = that
+            # offset (0 for empty slots — value vreg is all zero there)
+            diag_arr = np.zeros((Tp, K), np.int32)
+            mu = mode_u.reshape(-1, K)[: Tp] if mode_u is not None else None
+            if mu is not None:
+                diag_arr[: mu.shape[0]] = mu.astype(np.int32)
+            occ = np.zeros((Tp, K, 8, 128), dtype=bool)
+            occ[t_k, k_e, s, l] = True
+            u_arr = np.where(occ, u_arr,
+                             diag_arr[:, :, None, None]).astype(np.int32)
+        else:
+            # diagonal slots: every REAL entry shares one u -> pad holes
+            # with it so a kernel may take a gather-free roll path.
+            occ = np.zeros((Tp, K, 8, 128), dtype=bool)
+            occ[t_k, k_e, s, l] = True
+            u_masked = np.where(occ, u_arr, -1)
+            u_max = u_masked.reshape(Tp, K, -1).max(axis=2)
+            u_min_real = np.where(occ, u_arr, win).reshape(
+                Tp, K, -1).min(axis=2)
+            is_diag = (u_max == u_min_real) & (u_max >= 0)
+            diag_arr = np.where(is_diag, u_max, -1).astype(np.int32)
+            fill = np.broadcast_to(np.maximum(u_max, 0)[:, :, None, None],
+                                   u_arr.shape)
+            u_arr = np.where(occ, u_arr, np.where(is_diag[:, :, None, None],
+                                                  fill, 0)).astype(np.int32)
 
         max_brow = int(brow_arr.max())
     else:
@@ -306,6 +405,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         group=int(group),
         wlog=int(wlog),
         value_dtype=value_dtype,
+        kernel_mode=kernel_mode,
     )
 
 
@@ -348,12 +448,16 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     window choice fixes `wlog` for all parts (uniform nj ⇒ one kernel)."""
     ws = []
     wl = wlog
+    kmode = None
     for (v, c, p) in parts:
         w = csr_to_wjd(v, c, p, shape,
                        wlog=(wl if wl is not None else "auto"),
-                       max_slots=max_slots)
+                       max_slots=max_slots,
+                       kernel_mode=(kmode or "auto"))
         if wl is None:
             wl = w.wlog
+        if kmode is None:
+            kmode = w.kernel_mode   # part 0 decides for every part
         ws.append(w)
 
     P = len(ws)
@@ -381,7 +485,8 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     dlo = alloc((Tp, K, 8, 128), vdtype) if ff else None
     uloc = alloc((Tp, K, 8, 128), np.asarray(ws[0].uloc).dtype)
     brow = alloc((Tp, K), np.int32)
-    diag = alloc((Tp, K), np.int32, fill=-1)
+    # roll mode reads diag_u unconditionally: pad slots must be 0, not -1
+    diag = alloc((Tp, K), np.int32, fill=(0 if kmode == "roll" else -1))
     sr = alloc((nspill,), np.int32)
     sc = alloc((nspill,), np.int32)
     sv = alloc((nspill,), np.asarray(ws[0].spill_val).dtype)
@@ -418,6 +523,7 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
         group=int(group),
         wlog=int(wl),
         value_dtype=ws[0].value_dtype,
+        kernel_mode=kmode or "gather",
     )
 
 

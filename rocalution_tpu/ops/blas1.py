@@ -9,6 +9,7 @@ reference (src/utils/math_functions.*).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -116,3 +117,38 @@ def add_index_values(x, idx, values):
 
 def sigma_norm(x, sigma):  # pragma: no cover - utility
     return jnp.sqrt(jnp.real(jnp.vdot(x, x)) + sigma)
+
+
+def restriction(x_fine, fmap, n_coarse: int):
+    """Map-based restriction: coarse[fmap[i]] += fine[i] for fmap[i] != -1
+    (reference: LocalVector::Restriction, host_vector.cpp:1415-1439) —
+    one segment_sum with -1 entries routed to a dropped slot."""
+    safe = jnp.where(fmap < 0, n_coarse, fmap)
+    return jax.ops.segment_sum(
+        jnp.where(fmap < 0, 0, x_fine), safe, num_segments=n_coarse + 1
+    )[:n_coarse]
+
+
+def prolongation(x_coarse, fmap):
+    """Map-based prolongation: fine[i] = coarse[fmap[i]], 0 where the map
+    is -1 (reference: LocalVector::Prolongation, host_vector.cpp:1441+)."""
+    safe = jnp.maximum(fmap, 0)
+    return jnp.where(fmap < 0, 0, x_coarse[safe])
+
+
+def set_random_uniform(key, n, low=-1.0, high=1.0, dtype=None):
+    """Uniform random fill (reference: LocalVector::SetRandomUniform;
+    rocRAND on device — here jax.random, key-explicit)."""
+    import jax.random as jr
+
+    dtype = dtype or jnp.float64
+    return jr.uniform(key, (n,), minval=low, maxval=high,
+                      dtype=jnp.dtype(dtype))
+
+
+def set_random_normal(key, n, mean=0.0, std=1.0, dtype=None):
+    """Normal random fill (reference: LocalVector::SetRandomNormal)."""
+    import jax.random as jr
+
+    dtype = dtype or jnp.float64
+    return mean + std * jr.normal(key, (n,), dtype=jnp.dtype(dtype))

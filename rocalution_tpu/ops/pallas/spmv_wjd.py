@@ -156,6 +156,81 @@ def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
         y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
 
 
+def _roll_fn(interpret):
+    """Dynamic lane-rotate: tpu.dynamic_rotate via pltpu.roll on hardware,
+    jnp.roll in interpret mode (identical semantics)."""
+    if interpret:
+        return lambda v, sh: jnp.roll(v, sh, axis=1)
+    return lambda v, sh: pltpu.roll(v, sh, 1)
+
+
+def _rolled_window(x_ref, base, du, lane, roll):
+    """Resolve a constant-offset slot's gather with ONE rotate per row
+    block: out[s, l] = x[base + (du>>7) + ((l + du&127) >= 128) + s,
+    (l + du) & 127]."""
+    q = du >> 7
+    c0 = du & 127
+    W0 = x_ref[pl.ds(base + q, 8), :]
+    W1 = x_ref[pl.ds(base + q + 1, 8), :]
+    sh = (128 - c0) & 127
+    R0 = roll(W0, sh)
+    R1 = roll(W1, sh)
+    return jnp.where(lane < 128 - c0, R0, R1)
+
+
+def _kernel_roll(brow_ref, diag_ref, x_ref, val_ref, y_ref, *,
+                 K, group, interpret):
+    """Roll-mode SpMV: every slot holds one diagonal offset (diag_ref), so
+    the column resolve is a single dynamic lane-rotate and the uloc plane
+    is never streamed (banded/stencil fast path; cf. the reference's DIA
+    kernels, hip_matrix_dia.cpp — here it serves arbitrary CSR input whose
+    slots happen to be banded, which is most of a WJD'd stencil matrix)."""
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    acc_dtype = y_ref.dtype
+    roll = _roll_fn(interpret)
+
+    for g in range(group):
+        t = step * group + g
+
+        def slot(k, acc, g=g, t=t):
+            gat = _rolled_window(x_ref, brow_ref[t, k], diag_ref[t, k],
+                                 lane, roll)
+            return acc + val_ref[g, k] * gat
+
+        y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
+
+
+def _kernel_roll_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref,
+                    vl_ref, yh_ref, yl_ref, *, K, group, interpret):
+    """Roll-mode float-float SpMV (see _kernel_ff for the arithmetic)."""
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    one = one_ref[0, 0]
+    roll = _roll_fn(interpret)
+
+    for g in range(group):
+        t = step * group + g
+
+        def slot(k, carry, g=g, t=t):
+            acc, accl = carry
+            base = brow_ref[t, k]
+            du = diag_ref[t, k]
+            gh = _rolled_window(xh_ref, base, du, lane, roll)
+            gl = _rolled_window(xl_ref, base, du, lane, roll)
+            vh = vh_ref[g, k]
+            vl = vl_ref[g, k]
+            p, e = _two_prod(vh, gh, one)
+            e = e + (vh * gl + vl * gh)
+            acc, err = _two_sum(acc, p)
+            return acc, accl + (err + e)
+
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc, accl = _unrolled_slots(K, slot, (zero, zero))
+        yh_ref[g] = acc
+        yl_ref[g] = accl
+
+
 def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
                  K, group, nj, kc):
     """Blocked-RHS SpMM: the slot value vreg is loaded ONCE and the lane
@@ -257,6 +332,20 @@ def _specs(A, x_shapes):
 def _wjd_apply_32(A: WJD, xp2d, interpret):
     grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
         A, [xp2d.shape])
+    if A.kernel_mode == "roll":
+        kern = functools.partial(_kernel_roll, K=K, group=group,
+                                 interpret=interpret)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,       # brow, diag_u
+                grid=grid,
+                in_specs=x_specs + [slot_spec],
+                out_specs=out_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), A.data.dtype),
+            interpret=interpret,
+        )(A.brow, A.diag_u, xp2d, A.data)
     kern = functools.partial(_kernel, K=K, group=group, nj=A.nj)
     y = pl.pallas_call(
         kern,
@@ -277,10 +366,25 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
     with jax.enable_x64(False):
         grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
             A, [xh2d.shape, xl2d.shape])
-        kern = functools.partial(_kernel_ff, K=K, group=group, nj=A.nj)
         out32 = jax.ShapeDtypeStruct((Tp, 8, 128), jnp.float32)
         one_spec = pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
                                 memory_space=pltpu.SMEM)
+        one = jnp.ones((1, 1), jnp.float32)
+        if A.kernel_mode == "roll":
+            kern = functools.partial(_kernel_roll_ff, K=K, group=group,
+                                     interpret=interpret)
+            return pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=grid,
+                    in_specs=[one_spec] + x_specs + [slot_spec, slot_spec],
+                    out_specs=(out_spec, out_spec),
+                ),
+                out_shape=(out32, out32),
+                interpret=interpret,
+            )(A.brow, A.diag_u, one, xh2d, xl2d, A.data, A.data_lo)
+        kern = functools.partial(_kernel_ff, K=K, group=group, nj=A.nj)
         yh, yl = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -292,7 +396,7 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
             ),
             out_shape=(out32, out32),
             interpret=interpret,
-        )(A.brow, A.diag_u, jnp.ones((1, 1), jnp.float32), xh2d, xl2d,
+        )(A.brow, A.diag_u, one, xh2d, xl2d,
           A.data, A.data_lo, A.uloc)
         return yh, yl
 

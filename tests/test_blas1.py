@@ -39,3 +39,31 @@ def test_permute(rng):
     assert np.allclose(fwd[perm], x)
     back = np.asarray(blas1.permute_backward(fwd, perm))
     np.testing.assert_allclose(back, x)
+
+
+def test_restriction_prolongation_by_map(rng):
+    """Map-based vector restriction/prolongation (-1 = unmapped;
+    reference host_vector.cpp:1415-1462 semantics)."""
+    import jax.numpy as jnp
+    from rocalution_tpu.ops.blas1 import prolongation, restriction
+
+    fmap = np.array([0, 1, -1, 1, 2, -1, 0], np.int32)
+    x = np.arange(1.0, 8.0)
+    got = np.asarray(restriction(jnp.asarray(x), jnp.asarray(fmap), 3))
+    np.testing.assert_allclose(got, [1 + 7, 2 + 4, 5])
+    xc = np.array([10.0, 20.0, 30.0])
+    got = np.asarray(prolongation(jnp.asarray(xc), jnp.asarray(fmap)))
+    np.testing.assert_allclose(got, [10, 20, 0, 20, 30, 0, 10])
+
+
+def test_random_fills():
+    import jax
+    from rocalution_tpu.ops.blas1 import (set_random_normal,
+                                          set_random_uniform)
+
+    k = jax.random.PRNGKey(0)
+    u = np.asarray(set_random_uniform(k, 5000, low=2.0, high=3.0))
+    assert (u >= 2.0).all() and (u < 3.0).all()
+    assert abs(u.mean() - 2.5) < 0.05
+    g = np.asarray(set_random_normal(k, 5000, mean=1.0, std=2.0))
+    assert abs(g.mean() - 1.0) < 0.15 and abs(g.std() - 2.0) < 0.15

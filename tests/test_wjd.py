@@ -266,3 +266,60 @@ def test_wjd_complex(rng):
         # float-float stores 2x24-bit mantissas: values round-trip to
         # ~2^-48 relative (exact only when f32-representable)
         assert abs(S2 - S).max() < (1e-6 if cdt == np.complex64 else 1e-13)
+
+
+def test_wjd_roll_mode(rng):
+    """Roll-mode kernel (single dynamic lane-rotate per slot, no uloc
+    stream): auto-selected for banded matrices, exact vs the XLA path;
+    forced-roll on an unstructured matrix spills off-mode entries but
+    stays correct."""
+    # stencil matrix: auto should pick roll
+    A = rt.laplacian_2d(40, dtype=np.float32)
+    W = from_csr(A)
+    assert W.kernel_mode == "roll", W.kernel_mode
+    x = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
+    ref = np.asarray(spmv(A, x))
+    got = np.asarray(wjd_spmv(W, x, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    # 3D stencil (three windows) too
+    A3 = rt.laplacian_3d(12, dtype=np.float32)
+    W3 = from_csr(A3)
+    assert W3.kernel_mode == "roll"
+    x3 = jnp.asarray(rng.standard_normal(A3.shape[0]).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(wjd_spmv(W3, x3, interpret=True)),
+        np.asarray(spmv(A3, x3)), rtol=2e-5, atol=1e-5)
+
+    # unstructured: auto stays gather; forcing roll spills but is correct
+    Ar = _rand_csr(rng, 500, 500, density=0.01)
+    Wg = from_csr(Ar)
+    assert Wg.kernel_mode == "gather"
+    Wr = from_csr(Ar, kernel_mode="roll")
+    assert Wr.kernel_mode == "roll"
+    assert Wr.spill_row.shape[0] > 0
+    xr = jnp.asarray(rng.standard_normal(500).astype(np.float32))
+    refr = np.asarray(spmv(Ar, xr))
+    np.testing.assert_allclose(np.asarray(wjd_spmv(Wr, xr, interpret=True)),
+                               refr, rtol=2e-5, atol=1e-5)
+    # roundtrip through CSR preserves the matrix (incl. spilled entries)
+    back = rt.convert(Wr, "CSR")
+    d0, i0, p0 = Ar.numpy_triplet()
+    d1, i1, p1 = back.numpy_triplet()
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+
+def test_wjd_roll_mode_f64(rng):
+    """Roll-mode float-float kernel keeps f64-class accuracy."""
+    A = rt.laplacian_2d(30, dtype=np.float64)
+    d, i, p = A.numpy_triplet()
+    d = d * (1 + 1e-9 * rng.standard_normal(len(d)))  # not f32-exact
+    A = rt.CSR.from_arrays(d, i, p, A.shape)
+    W = from_csr(A)
+    assert W.kernel_mode == "roll" and W.data_lo is not None
+    x = rng.standard_normal(A.shape[0])
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+    ref = S @ x
+    got = np.asarray(wjd_spmv(W, jnp.asarray(x), interpret=True))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-13
