@@ -152,3 +152,38 @@ def set_random_normal(key, n, mean=0.0, std=1.0, dtype=None):
 
     dtype = dtype or jnp.float64
     return mean + std * jr.normal(key, (n,), dtype=jnp.dtype(dtype))
+
+
+def extract_coarse_mapping(vec, index, nc: int):
+    """Renumber the coarse ids hit by boundary points into a dense local
+    numbering, first-seen order (reference: LocalVector<int>::
+    ExtractCoarseMapping, host_vector.cpp:1594-1632 — used to derive the
+    coarse-level boundary maps during distributed AMG setup). Host-side
+    numpy (setup phase). Returns (map, size)."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    index = np.asarray(index, np.int64)
+    coarse = vec[index]
+    first = {}
+    out = np.empty(len(index), np.int64)
+    k = 0
+    for i, c in enumerate(coarse):
+        if c not in first:
+            first[c] = k
+            k += 1
+        out[i] = first[c]
+    return out, k
+
+
+def extract_coarse_boundary(vec, index, nc: int):
+    """Unique coarse ids hit by boundary points, first-seen order
+    (reference: LocalVector<int>::ExtractCoarseBoundary,
+    host_vector.cpp:1643+). Host-side numpy (setup phase)."""
+    import numpy as np
+
+    vec = np.asarray(vec)
+    index = np.asarray(index, np.int64)
+    coarse = vec[index]
+    _, first_idx = np.unique(coarse, return_index=True)
+    return coarse[np.sort(first_idx)]

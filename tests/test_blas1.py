@@ -67,3 +67,17 @@ def test_random_fills():
     assert abs(u.mean() - 2.5) < 0.05
     g = np.asarray(set_random_normal(k, 5000, mean=1.0, std=2.0))
     assert abs(g.mean() - 1.0) < 0.15 and abs(g.std() - 2.0) < 0.15
+
+
+def test_extract_coarse_mapping_boundary():
+    from rocalution_tpu.ops.blas1 import (extract_coarse_boundary,
+                                          extract_coarse_mapping)
+
+    agg = np.array([0, 0, 1, 2, 2, 3], np.int32)   # fine -> coarse map
+    bnd = np.array([4, 1, 5, 0], np.int64)         # boundary fine points
+    m, k = extract_coarse_mapping(agg, bnd, 4)
+    # coarse ids hit: 2, 0, 3, 0 -> local numbering 0,1,2,1
+    np.testing.assert_array_equal(m, [0, 1, 2, 1])
+    assert k == 3
+    np.testing.assert_array_equal(extract_coarse_boundary(agg, bnd, 4),
+                                  [2, 0, 3])
