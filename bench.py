@@ -196,6 +196,20 @@ def main():
 
     section("wjd_csr", 0, sec_wjd_csr)
 
+    # ---- optional: kernel-mode calibration (BENCH_CALIBRATE=1) ----------
+    if os.environ.get("BENCH_CALIBRATE"):
+        def sec_calib():
+            from rocalution_tpu.formats.wjd import from_csr
+
+            for mode in ("gather", "roll"):
+                W = from_csr(A, kernel_mode=mode)
+                t = chain_time(lambda c, W=W: spmv(W, c) * scale, x,
+                               budget_s=0.15)
+                results[f"spmv_csr_{mode}_gbps"] = spmv_bytes / t / 1e9
+                log(f"  spmv[csr forced-{mode}] {t*1e6:9.1f} us/op")
+
+        section("calib", 30, sec_calib)
+
     # ============ 2. DIA (same matrix, own byte model too) ===============
     def sec_dia():
         B = rt.convert(A, "DIA")

@@ -12,7 +12,7 @@ from typing import Callable, Optional
 from .aggregation import pairwise_level, sa_level, ua_level
 from .base import (Hierarchy, MGLevel, build_hierarchy, convert_hierarchy,
                    cycle_closure, jacobi_smoother, mg_solve,
-                   precond_smoother)
+                   precond_smoother, rebuild_hierarchy_numeric)
 from .rs import rs_level
 
 _LEVEL_BUILDERS = {

@@ -44,9 +44,11 @@ def _pattern_member(C, rows, cols) -> np.ndarray:
                      np.diff(C.indptr))
     ckeys = crow * ncol + C.indices.astype(np.int64)
     keys = rows.astype(np.int64) * ncol + cols.astype(np.int64)
+    if len(ckeys) == 0:
+        return np.zeros(len(keys), dtype=bool)
     pos = np.searchsorted(ckeys, keys)
-    pos_safe = np.minimum(pos, max(len(ckeys) - 1, 0))
-    return (len(ckeys) > 0) & (ckeys[pos_safe] == keys)
+    pos_safe = np.minimum(pos, len(ckeys) - 1)
+    return ckeys[pos_safe] == keys
 
 
 def strength_connect(S, eps: float = 0.08):

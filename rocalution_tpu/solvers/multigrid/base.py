@@ -136,6 +136,30 @@ def build_hierarchy(
     return Hierarchy(levels, coarse_solve, pre_sweeps, post_sweeps, cycle)
 
 
+def rebuild_hierarchy_numeric(h: Hierarchy, A_new) -> Hierarchy:
+    """ReBuildNumeric analog (reference: Solver::ReBuildNumeric,
+    solver.hpp — refresh the hierarchy for NEW VALUES on the same
+    nonzero structure): transfers P/R are kept frozen and every level
+    operator is recomputed as the Galerkin product R·A·P (the standard
+    numeric-rebuild policy), smoothers and the coarse solve rebuilt
+    against the refreshed operators. Setup cost = triple products only —
+    no strength graphs, no aggregation."""
+    from ...formats import to_csr
+    from ...ops.spgemm import triple_product
+
+    levels = []
+    A = to_csr(A_new)
+    for lv in h.levels:
+        if lv.P is None:
+            levels.append(MGLevel(A=A, P=None, R=None, smooth=None))
+            break
+        levels.append(MGLevel(A=A, P=lv.P, R=lv.R,
+                              smooth=jacobi_smoother(A)))
+        A = triple_product(to_csr(lv.R), A, to_csr(lv.P))
+    return Hierarchy(levels, qr_factor(levels[-1].A), h.pre_sweeps,
+                     h.post_sweeps, h.cycle, h.scaling, h.host_levels)
+
+
 def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
                       max_diags: int = 96, dtype=None) -> Hierarchy:
     """Convert level operators to a faster device format (reference:

@@ -247,3 +247,29 @@ def test_rs_native_fallback_equivalence(rng):
             finally:
                 nat.available = orig
             np.testing.assert_array_equal(got_native, got_py)
+
+
+def test_rebuild_hierarchy_numeric(rng):
+    """ReBuildNumeric analog: same structure, new values — frozen
+    transfers, refreshed Galerkin operators; solves the perturbed system
+    without re-running coarsening (reference: Solver::ReBuildNumeric)."""
+    from rocalution_tpu.solvers.multigrid import amg_hierarchy, mg_solve
+    from rocalution_tpu.solvers.multigrid.base import \
+        rebuild_hierarchy_numeric
+
+    A = rt.laplacian_2d(24)
+    h = amg_hierarchy(A, "sa", coarse_size=40)
+    # perturb values on the SAME pattern
+    d, i, p = A.numpy_triplet()
+    rows = A.numpy_rows()
+    d2 = d * np.where(i == rows, 1.3, 0.95)
+    A2 = rt.CSR.from_arrays(d2, i, p, A.shape)
+    b2 = np.asarray(rt.spmv(A2, np.ones(A2.shape[0])))
+    h2 = rebuild_hierarchy_numeric(h, A2)
+    x, info = mg_solve(h2, b2, rel_tol=1e-8, max_iter=80)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+    # comparable to a from-scratch hierarchy on A2
+    hf = amg_hierarchy(A2, "sa", coarse_size=40)
+    _, info_f = mg_solve(hf, b2, rel_tol=1e-8, max_iter=80)
+    assert int(info.iterations) <= int(info_f.iterations) + 15
