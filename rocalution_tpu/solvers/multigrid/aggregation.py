@@ -196,6 +196,12 @@ def _aggregate(C, strategy: str, seed: int) -> np.ndarray:
         strategy = "greedy" if fast_greedy else "pmis"
     if strategy == "greedy":
         return greedy_aggregate(C)
+    if strategy == "pmis-device":
+        # the whole Luby/knockout/join loop on the accelerator (the
+        # hip_rsamg-analog setup path) — see aggregation_device.py
+        from .aggregation_device import pmis_aggregate_jit
+
+        return pmis_aggregate_jit(C, seed)
     return pmis_aggregate(C, seed)
 
 
