@@ -83,6 +83,56 @@ def pmis_aggregate_device(indptr, indices, n: int, w) -> jnp.ndarray:
     return jnp.where(left, na + extra, agg).astype(jnp.int32)
 
 
+def pmis_coarsening_device(Sgraph, seed: int = 0) -> np.ndarray:
+    """RS PMIS C/F splitting on device (reference: RSPMISCoarsening,
+    hip_rsamg_csr.cpp — random-hash Luby rounds + dependent->F passes).
+    Distance-1 Luby over the symmetrized strength graph, F-marking via an
+    unsorted segment-max over the transpose edge list; one while_loop.
+    Returns cfmap (True = C), matching rs.pmis_coarsening's contract."""
+    import scipy.sparse as sp
+
+    n = Sgraph.shape[0]
+    ST = Sgraph.T.tocsr()
+    G = ((Sgraph + ST) > 0).astype(np.int8).tocsr()
+    G.sort_indices()
+    rng = np.random.default_rng(seed)
+    # weight = #dependents * n + random tiebreak, as one unique int64 key
+    lam = np.diff(ST.indptr).astype(np.int64)
+    w_np = lam * n + rng.permutation(n)
+    g_rows = jnp.asarray(
+        np.repeat(np.arange(n, dtype=np.int32), np.diff(G.indptr)))
+    g_cols = jnp.asarray(G.indices.astype(np.int32))
+    st_rows = jnp.asarray(
+        np.repeat(np.arange(n, dtype=np.int32), lam))
+    st_cols = jnp.asarray(ST.indices.astype(np.int32))
+    w = jnp.asarray(w_np)
+    iso = jnp.asarray(np.diff(G.indptr) == 0)
+
+    # 0 undecided, 1 C, 2 F
+    cf0 = jnp.where(iso, jnp.int8(1), jnp.int8(0))
+
+    def cond(state):
+        cf, progress = state
+        return jnp.any(cf == 0) & progress
+
+    def body(state):
+        cf, _ = state
+        und = cf == 0
+        key = jnp.where(und, w, jnp.int64(-1))
+        m1 = _seg_max(key[g_cols], g_rows, n)
+        sel = und & (key > m1)
+        cf = jnp.where(sel, jnp.int8(1), cf)
+        # undecided points depending on a new C point become F
+        hit = jax.ops.segment_max(
+            sel[st_rows].astype(jnp.int32), st_cols, num_segments=n) > 0
+        cf = jnp.where((cf == 0) & hit, jnp.int8(2), cf)
+        return cf, jnp.any(sel)
+
+    cf, _ = jax.lax.while_loop(cond, body, (cf0, jnp.bool_(True)))
+    cf = jnp.where(cf == 0, jnp.int8(1), cf)   # stall safety: rest -> C
+    return np.asarray(cf) == 1
+
+
 def pmis_aggregate_jit(C, seed: int = 0) -> np.ndarray:
     """Host wrapper matching aggregation.pmis_aggregate's signature:
     takes a scipy strength graph, runs the device kernel, returns numpy."""

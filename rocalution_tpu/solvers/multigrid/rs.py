@@ -347,6 +347,11 @@ def rs_level(A: CSR, *, theta: float = 0.25, seed: int = 0,
         cfmap = greedy_coarsening(Sg, second_pass=(interpolation == "direct"))
     elif coarsening == "pmis":
         cfmap = pmis_coarsening(Sg, seed)
+    elif coarsening == "pmis-device":
+        # accelerator Luby rounds (hip_rsamg RSPMISCoarsening analog)
+        from .aggregation_device import pmis_coarsening_device
+
+        cfmap = pmis_coarsening_device(Sg, seed)
     else:
         raise ValueError(f"unknown coarsening strategy {coarsening!r}")
     if cfmap.all() or not cfmap.any():
