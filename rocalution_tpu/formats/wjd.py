@@ -35,6 +35,16 @@ The window width trades gather count (nj per slot) against slot padding
 matrices, wide windows suit scattered ones. ``wlog="auto"`` measures the
 padding at width 256 and widens if it pays.
 
+**Roll mode** (round 3): when the cost model favors it, slots are keyed by
+(tile, DIAGONAL) instead of (tile, window, rank) — true jagged-diagonal
+storage. Every slot then has ONE offset u, so the kernel replaces the nj
+lane-gathers with a single dynamic lane-rotate (tpu.dynamic_rotate) of the
+x window and never streams the uloc plane: bytes/value drop to DIA's level
+while still serving arbitrary CSR input (off-band entries ride the COO
+spill). Stencil/banded matrices — the dominant solver workload — take this
+path automatically; scattered matrices keep gather mode (their diagonal
+count would explode the slot grid).
+
 Conversion is a pure host-side numpy pass (vectorized, no per-row Python
 loops) — the analog of the reference's format ConvertTo + rocsparse
 csrmv_analysis setup stage, reported separately as `time_analyze`.
