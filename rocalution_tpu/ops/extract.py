@@ -158,3 +158,45 @@ def extract_row_vector(A: CSR, idx: int) -> np.ndarray:
     sel = r == idx
     out[c[sel]] = v[sel]
     return out
+
+
+def replace_column_vector(A: CSR, idx: int, vec) -> CSR:
+    """Replace column idx with the dense vector's nonzero structure
+    (LocalMatrix::ReplaceColumnVector — structural replacement)."""
+    r, c, v = _coo(A)
+    keep = c != idx
+    vec = np.asarray(vec)
+    nz = np.flatnonzero(vec)
+    return CSR.from_coo(
+        np.concatenate([r[keep], nz]),
+        np.concatenate([c[keep], np.full(len(nz), idx, np.int64)]),
+        np.concatenate([v[keep], vec[nz].astype(v.dtype)]),
+        A.shape,
+    )
+
+
+def replace_row_vector(A: CSR, idx: int, vec) -> CSR:
+    """Replace row idx with the dense vector's nonzero structure
+    (LocalMatrix::ReplaceRowVector)."""
+    r, c, v = _coo(A)
+    keep = r != idx
+    vec = np.asarray(vec)
+    nz = np.flatnonzero(vec)
+    return CSR.from_coo(
+        np.concatenate([r[keep], np.full(len(nz), idx, np.int64)]),
+        np.concatenate([c[keep], nz]),
+        np.concatenate([v[keep], vec[nz].astype(v.dtype)]),
+        A.shape,
+    )
+
+
+def create_from_map(fmap, n: int, m: int, dtype=np.float64):
+    """Build the (m x n) restriction operator R with R[fmap[i], i] = 1 for
+    fmap[i] >= 0, and its (n x m) prolongation transpose
+    (LocalMatrix::CreateFromMap, host_matrix_csr.cpp:4127-4255)."""
+    fmap = np.asarray(fmap, np.int64)
+    i = np.flatnonzero(fmap >= 0)
+    ones = np.ones(len(i), dtype)
+    R = CSR.from_coo(fmap[i], i, ones, (m, n))
+    P = CSR.from_coo(i, fmap[i], ones, (n, m))
+    return R, P

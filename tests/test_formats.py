@@ -109,3 +109,34 @@ def test_localmatrix_scale_addscalar_family(rng):
                                np.where(np.abs(offd) > 1.5, offd, 0.0))
     np.testing.assert_allclose(extract_column_vector(A, 3), D[:, 3])
     np.testing.assert_allclose(extract_row_vector(A, 7), D[7, :])
+
+
+def test_replace_vectors_and_create_from_map(rng):
+    import scipy.sparse as sp
+    from rocalution_tpu.ops.extract import (create_from_map,
+                                            replace_column_vector,
+                                            replace_row_vector)
+
+    A = rt.laplacian_2d(5)
+    n = A.shape[0]
+
+    def dense(M):
+        dd, ii, pp = M.numpy_triplet()
+        return sp.csr_matrix((dd, ii, pp), shape=M.shape).toarray()
+
+    D = dense(A)
+    vec = np.zeros(n)
+    vec[[2, 7, 11]] = [1.5, -2.0, 3.0]
+    Dc = D.copy(); Dc[:, 4] = vec
+    np.testing.assert_allclose(dense(replace_column_vector(A, 4, vec)), Dc)
+    Dr = D.copy(); Dr[4, :] = vec
+    np.testing.assert_allclose(dense(replace_row_vector(A, 4, vec)), Dr)
+
+    fmap = np.array([0, -1, 2, 1, 2], np.int32)
+    R, P = create_from_map(fmap, 5, 3)
+    DR = dense(R)
+    assert DR.shape == (3, 5)
+    expect = np.zeros((3, 5))
+    expect[0, 0] = expect[2, 2] = expect[1, 3] = expect[2, 4] = 1
+    np.testing.assert_allclose(DR, expect)
+    np.testing.assert_allclose(dense(P), expect.T)
