@@ -133,6 +133,18 @@ def main():
     print(f"STAGE3 PASS cg iters={int(info.iterations)} err={err:.1e}",
           flush=True)
 
+    # --- 3b. sharded path on hardware (1-part mesh, WJD interior) -------
+    from rocalution_tpu.parallel import (block_jacobi_diag, dist_solve,
+                                         distribute_csr, make_mesh)
+
+    Ag = distribute_csr(Av, 1, wjd=True)
+    xs1, info1 = dist_solve(rt.cg, Ag, bv, M=block_jacobi_diag(Ag),
+                            mesh=make_mesh(1), rel_tol=1e-10, max_iter=1000)
+    err1 = float(np.linalg.norm(np.asarray(xs1) - 1.0))
+    assert int(info1.status) in (1, 2) and err1 < 1e-6, (info1, err1)
+    print(f"STAGE3b PASS shard_map cg iters={int(info1.iterations)} "
+          f"err={err1:.1e}", flush=True)
+
     # --- 4. profiler trace ---------------------------------------------
     from rocalution_tpu.utils.profile import latest_trace_file, profile
 
