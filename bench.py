@@ -122,23 +122,32 @@ def main():
             log(f"[FAIL] {name}:")
             traceback.print_exc(file=sys.stderr)
 
-    def chain_time(step, x0, K_max=20000, trials=3, budget_s=0.25, probe=66):
-        """Time one application of `step` (x -> x) via a dependent chain:
-        (t_2K - t_K)/K with forced host reads. The rep count is a TRACED
-        fori_loop bound, so one compile serves every K; K adapts so one
-        trial stays within `budget_s`. `probe` is the chain length of the
-        initial estimation run — keep it small for known-slow ops."""
+    def chain_time(step, x0, *ops, K_max=20000, trials=3, budget_s=0.25,
+                   probe=66):
+        """Time one application of `step` (x, *ops -> x) via a dependent
+        chain: (t_2K - t_K)/K with forced host reads. The rep count is a
+        TRACED fori_loop bound, so one compile serves every K; K adapts so
+        one trial stays within `budget_s`. `probe` is the chain length of
+        the initial estimation run — keep it small for known-slow ops.
+
+        Pass the matrix/operand pytrees via *ops (NOT a closure): traced
+        jit arguments become device buffers, while closed-over arrays are
+        serialized into the HLO as constants — on this tunnel a 1M-row
+        operand makes the remote-compile request exceed the HTTP body
+        limit (413) and costs tens of seconds of upload per compile."""
+        ops = jax.device_put(ops)
+
         @jax.jit
-        def run(v, k):
-            out = jax.lax.fori_loop(0, k, lambda i, c: step(c), v)
+        def run(v, k, *ops):
+            out = jax.lax.fori_loop(0, k, lambda i, c: step(c, *ops), v)
             return jnp.sum(out)
 
         def timed(k):
             t0 = time.perf_counter()
-            float(run(x0, k))
+            float(run(x0, k, *ops))
             return time.perf_counter() - t0
 
-        float(run(x0, 2))                  # compile
+        float(run(x0, 2, *ops))            # compile
         est = max((timed(probe) - timed(2)) / (probe - 2), 1e-9)
         K = int(max(2, min(K_max, budget_s / est)))
 
@@ -179,7 +188,7 @@ def main():
         t0 = time.perf_counter()
         attach_wjd(A)                 # the csrmv-analysis stage
         results["wjd_analyze_ms"] = (time.perf_counter() - t0) * 1e3
-        t = chain_time(lambda c: spmv(A, c) * scale, x)
+        t = chain_time(lambda c, W: spmv(W, c) * scale, x, A._wjd_cache)
         results["spmv_csr_gbps"] = spmv_bytes / t / 1e9
         results["spmv_csr_gflops"] = 2 * nnz / t / 1e9
         # own byte model (actual streamed bytes, like DIA's): slot values
@@ -203,7 +212,7 @@ def main():
 
             for mode in ("gather", "roll"):
                 W = from_csr(A, kernel_mode=mode)
-                t = chain_time(lambda c, W=W: spmv(W, c) * scale, x,
+                t = chain_time(lambda c, W: spmv(W, c) * scale, x, W,
                                budget_s=0.15)
                 results[f"spmv_csr_{mode}_gbps"] = spmv_bytes / t / 1e9
                 log(f"  spmv[csr forced-{mode}] {t*1e6:9.1f} us/op")
@@ -212,6 +221,11 @@ def main():
 
     # ============ 2. DIA (same matrix, own byte model too) ===============
     def sec_dia():
+        # DIA stays CLOSED-OVER (program constants, ~28 MB — well under the
+        # remote-compile limit): banded data with static offsets lets XLA
+        # specialize the stencil, worth ~10x on this tunnel (measured 30.6
+        # vs 317 us/op as a jit argument), and solvers consume DIA operands
+        # the same way (jit of a closure over the concrete matrix).
         B = rt.convert(A, "DIA")
         t = chain_time(lambda c: spmv(B, c) * scale, x)
         results["spmv_dia_gbps"] = spmv_bytes / t / 1e9
@@ -231,8 +245,8 @@ def main():
         x64 = jax.device_put(
             np.random.default_rng(2).standard_normal(N64) / N64
         )
-        t = chain_time(lambda c: spmv(A64, c) * np.float64(1 / 12.0), x64,
-                       budget_s=0.1, probe=10)
+        t = chain_time(lambda c, W: spmv(W, c) * np.float64(1 / 12.0), x64,
+                       A64._wjd_cache, budget_s=0.1, probe=10)
         results["spmv_csr_f64_gbps"] = (8 + isize) * nnz64 / t / 1e9
         results["spmv_csr_f64_gflops"] = 2 * nnz64 / t / 1e9
         log(f"  spmv[csr f64] {t*1e6:9.1f} us/op")
@@ -264,8 +278,8 @@ def main():
         if pad > 0:
             xs = jnp.concatenate(
                 [x[None], jnp.zeros((1, pad), x.dtype)], axis=1)
-        t = chain_time(lambda c: fn(Ag, c) * scale, xs, budget_s=0.15,
-                       probe=20)
+        t = chain_time(lambda c, Ag: fn(Ag, c) * scale, xs, Ag,
+                       budget_s=0.15, probe=20)
         results["spmv_csr_shard1_gbps"] = spmv_bytes / t / 1e9
         log(f"  spmv[csr shard_map x1] {t*1e6:9.1f} us/op")
 
@@ -273,14 +287,15 @@ def main():
 
     # ============ 4. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
     def sec_blas1():
-        t_axpy = chain_time(lambda c: c + np.float32(1e-6) * y, x)
+        t_axpy = chain_time(lambda c, y: c + np.float32(1e-6) * y, x, y)
         results["axpy_gbps"] = 3 * N * vsize / t_axpy / 1e9
         t_dotaxpy = chain_time(
-            lambda c: c + (np.float32(1e-12) * jnp.dot(c, y)) * y, x
+            lambda c, y: c + (np.float32(1e-12) * jnp.dot(c, y)) * y, x, y
         )
         results["dot_axpy_gbps"] = 5 * N * vsize / t_dotaxpy / 1e9
         t_normaxpy = chain_time(
-            lambda c: c + (np.float32(1e-12) * jnp.sqrt(jnp.dot(c, c))) * y, x
+            lambda c, y: c + (np.float32(1e-12) * jnp.sqrt(jnp.dot(c, c)))
+            * y, x, y
         )
         results["norm_axpy_gbps"] = 5 * N * vsize / t_normaxpy / 1e9
 
@@ -295,11 +310,9 @@ def main():
             (np.random.default_rng(3).standard_normal(Ar.shape[0]) / 1e6)
             .astype(dtype)
         )
-        t = chain_time(lambda c: spmv(Ar, c) * scale, xr)
+        t = chain_time(lambda c, W: spmv(W, c) * scale, xr, Ar._wjd_cache)
         results["spmv_csr_rand_gbps"] = (vsize + isize) * Ar.nnz / t / 1e9
         log(f"  spmv[csr rand-band] {t*1e6:9.1f} us/op nnz={Ar.nnz}")
-
-    section("rand_band", 40, sec_rand)
 
     # ============ 6. end-to-end solver rows ==============================
     # shared 65k 2D Laplacian operands
@@ -420,6 +433,11 @@ def main():
 
     section("mpdc", 40, sec_mpdc)
 
+    # rand_band runs AFTER the solver rows: a failure or overrun here (the
+    # r3 HTTP-413 remote-compile rejection) must not starve the end-to-end
+    # records the artifact is judged on.
+    section("rand_band", 40, sec_rand)
+
     # ============ 7. remaining formats (65k matrix, gather paths) ========
     # These run LAST: their XLA gather paths are the known-slow fallbacks
     # (the fast route is WJD conversion, which solvers select for CSR).
@@ -433,7 +451,7 @@ def main():
     def slow_fmt(name):
         def run():
             B = rt.convert(A2, name.upper()) if name != "csr_xla" else A2
-            t = chain_time(lambda c: spmv(B, c) * scale, x2s,
+            t = chain_time(lambda c, B: spmv(B, c) * scale, x2s, B,
                            budget_s=0.05, probe=6, trials=2)
             results[f"spmv_{name}_65k_gbps"] = bytes2 / t / 1e9
             log(f"  spmv[{name}/65k] {t*1e6:9.1f} us/op")

@@ -141,6 +141,20 @@ def _auto_wjd_on() -> bool:
     return auto
 
 
+def trace_state_clean() -> bool:
+    """True iff we are NOT inside a jax trace. Building a WJD cache under
+    tracing would wrap its arrays in tracers and leak them into later
+    traces via the attached-object side channel (UnexpectedTracerError on
+    the second solver call — seen on hardware in the r3 bench, gmres+ilu).
+    Setup-time attachment is the only safe kind."""
+    try:
+        from jax._src.core import trace_state_clean as _tsc
+
+        return _tsc()
+    except Exception:
+        return True
+
+
 def maybe_attach_wjd(A):
     """Auto-attach WJD to a host-built CSR (and, with a notice, to the
     gather-bound ELL/HYB/BCSR formats) when the fast path applies
@@ -151,6 +165,8 @@ def maybe_attach_wjd(A):
         return A
     if getattr(A, "_wjd_cache", None) is not None or not _auto_wjd_on():
         return A
+    if not trace_state_clean():
+        return A          # never build device caches while tracing
     try:
         if isinstance(A, CSR):
             if _wjd_eligible(A):

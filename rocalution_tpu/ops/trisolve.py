@@ -150,6 +150,26 @@ def solve_schedule(sched: LevelSchedule, b):
     return x[:n]
 
 
+def prepare_offd(T: CSR) -> CSR:
+    """Build + cache the off-diagonal part of a host-built factor, with the
+    WJD fast-apply attached — the csritsv analysis stage. Called eagerly at
+    preconditioner build (setup phase, never under jit); `trisolve_jacobi`
+    then picks the cache up inside traced solver bodies."""
+    N = getattr(T, "_offd_cache", None)
+    if N is not None:
+        return N
+    import numpy as np
+
+    from .spmv import maybe_attach_wjd
+
+    dh, ih, ph = T.numpy_triplet()
+    rh = T.numpy_rows()
+    N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape)
+    maybe_attach_wjd(N)
+    object.__setattr__(T, "_offd_cache", N)
+    return N
+
+
 def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
     """Approximate triangular solve by fixed Jacobi-Richardson sweeps
     (reference: ItLSolve/ItUSolve/csritsv semantics — the iterative
@@ -159,7 +179,7 @@ def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
     `nlevels` sweeps, good after far fewer for diagonally-dominant factors.
     """
     from ..precond.jacobi import extract_diagonal
-    from .spmv import maybe_attach_wjd, spmv
+    from .spmv import spmv
 
     if unit_diag:
         inv_d = jnp.ones((T.shape[0],), b.dtype)
@@ -170,18 +190,16 @@ def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
     # off-diagonal part: built ONCE host-side when T is a host factor and
     # cached on T, so the per-iteration sweep SpMV can ride the WJD fast
     # path (the reference's csritsv runs its optimized kernels likewise);
-    # traced fallback otherwise.
+    # traced fallback otherwise. Preconditioner builds call prepare_offd
+    # eagerly; the lazy path here only fires OUTSIDE jit (building device
+    # caches under tracing would leak tracers into later traces).
     N = getattr(T, "_offd_cache", None)
     if N is None:
-        cache = getattr(T, "_host_cache", None)
-        if cache and "data" in cache:
-            import numpy as np
+        from .spmv import trace_state_clean
 
-            dh, ih, ph = T.numpy_triplet()
-            rh = T.numpy_rows()
-            N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape)
-            maybe_attach_wjd(N)
-            object.__setattr__(T, "_offd_cache", N)
+        cache = getattr(T, "_host_cache", None)
+        if cache and "data" in cache and trace_state_clean():
+            N = prepare_offd(T)
         else:
             is_off = T.row_ids != T.indices
             N = CSR(

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..formats import CSR, to_csr
 from ..ops.factorize import ic0, ilu0, ilup, ilut
-from ..ops.trisolve import build_schedule, solve_schedule, trisolve_jacobi
+from ..ops.trisolve import (build_schedule, prepare_offd, solve_schedule,
+                            trisolve_jacobi)
 
 
 def _lu_apply(L: CSR, U: CSR, method: str, sweeps: int):
@@ -33,6 +34,12 @@ def _lu_apply(L: CSR, U: CSR, method: str, sweeps: int):
         def apply(r):
             return solve_schedule(us, solve_schedule(ls, r))
     elif method == "jacobi":
+        # csritsv-analysis analog, run NOW (setup phase): the sweep SpMV's
+        # off-diagonal operand + its WJD fast path must exist before the
+        # apply closure is traced inside a solver body
+        prepare_offd(L)
+        prepare_offd(U)
+
         def apply(r):
             y = trisolve_jacobi(L, r, sweeps=sweeps, unit_diag=True)
             return trisolve_jacobi(U, y, sweeps=sweeps)
@@ -70,6 +77,9 @@ def ic(A, *, method: str = "levels", sweeps: int = 8):
         def apply(r):
             return solve_schedule(us, solve_schedule(ls, r))
     else:
+        prepare_offd(L)
+        prepare_offd(Lt)
+
         def apply(r):
             y = trisolve_jacobi(L, r, sweeps=sweeps)
             return trisolve_jacobi(Lt, y, sweeps=sweeps)
