@@ -60,7 +60,18 @@ def _spmv_wjd(A: WJD, x):
 @spmv.register(ComplexWJD)
 def _spmv_cwjd(A: ComplexWJD, x):
     """Complex apply = 4 real plane applies (the c/z csrmv analog):
-    y = (Ar x_r - Ai x_i) + i (Ar x_i + Ai x_r)."""
+    y = (Ar x_r - Ai x_i) + i (Ar x_i + Ai x_r). Host complex input is
+    split into planes BEFORE upload: some TPU transports (the axon relay)
+    cannot transfer complex buffers, while on-device complex built from
+    real planes works everywhere."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        xr = jnp.asarray(np.ascontiguousarray(x.real))
+        xi = jnp.asarray(np.ascontiguousarray(x.imag))
+        yr = _spmv_wjd(A.re, xr) - _spmv_wjd(A.im, xi)
+        yi = _spmv_wjd(A.re, xi) + _spmv_wjd(A.im, xr)
+        return jax.lax.complex(yr, yi)
     xr = jnp.real(x)
     xi = jnp.imag(x) if jnp.iscomplexobj(x) else jnp.zeros_like(xr)
     yr = _spmv_wjd(A.re, xr) - _spmv_wjd(A.im, xi)

@@ -8,12 +8,14 @@ Replaces the reference's GlobalMatrix/GlobalVector/ParallelManager/MPI stack
 from .ops import shard_operator, shard_spmv
 from .partition import (GlobalCSR, distribute_csr, distribute_vector,
                         gather_vector, global_csr_from_blocks)
+from .precond import ShardPrecond, block_jacobi_precond
 from .solve import block_jacobi_diag, dist_solve, make_mesh
 
 __all__ = [
     "GlobalCSR", "distribute_csr", "distribute_vector", "gather_vector",
     "global_csr_from_blocks", "shard_spmv", "shard_operator", "dist_solve",
-    "make_mesh", "block_jacobi_diag", "DistLevels", "distributed_amg_setup",
+    "make_mesh", "block_jacobi_diag", "block_jacobi_precond",
+    "ShardPrecond", "DistLevels", "distributed_amg_setup",
     "dist_amg_solve_sharded",
 ]
 from .amg import DistMG, dist_amg_solve, distribute_hierarchy

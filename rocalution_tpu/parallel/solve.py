@@ -47,9 +47,14 @@ def dist_solve(
 
     `solver` is any rocalution_tpu solver taking (A, b, x0, M, **kwargs) and
     honoring `axis_name` (cg, bicgstab, gmres, ...). `M` may be a stacked
-    per-shard diagonal (P, n_local) — the BlockJacobi-style preconditioner
-    (reference: preconditioner_blockjacobi.hpp) — or None.
+    per-shard diagonal (P, n_local) — the BlockJacobi/Jacobi global
+    preconditioner — or a `parallel.precond.ShardPrecond` (BlockJacobi with
+    a LOCAL sub-preconditioner per diagonal block: SPAI/FSAI/ILU/ILUT, the
+    reference's preconditioner_blockjacobi.hpp as used by every
+    preconditioned MPI sample) — or None.
     """
+    from .precond import ShardPrecond
+
     P_ = A.nparts
     if mesh is None:
         mesh = make_mesh(P_)
@@ -64,12 +69,16 @@ def dist_solve(
     )
 
     has_x0 = x0p is not None
+    is_sp = isinstance(M, ShardPrecond)
     has_m = M is not None
 
     def shard_fn(A, b_l, x0_l, m_l):
         op = shard_operator(A, AXIS)
         precond = None
-        if has_m:
+        if is_sp:
+            arrs = jax.tree.map(lambda v: v[0], m_l)
+            precond = lambda r: M.shard_apply(arrs, r)
+        elif has_m:
             inv = m_l[0]
             precond = lambda r: inv * r
         x_init = x0_l[0] if has_x0 else None
@@ -78,9 +87,11 @@ def dist_solve(
         )
         return x[None], jax.tree.map(lambda v: jnp.asarray(v)[None], info)
 
+    zeros = jnp.zeros((P_, A.n_local), bp.dtype)
+    m_arg = M.arrays if is_sp else (M if has_m else zeros)
     in_specs = (
         jax.tree.map(lambda _: P(AXIS), A),
-        P(AXIS), P(AXIS), P(AXIS),
+        P(AXIS), P(AXIS), jax.tree.map(lambda _: P(AXIS), m_arg),
     )
     out_specs = (P(AXIS), jax.tree.map(lambda _: P(AXIS), _info_struct()))
 
@@ -88,9 +99,7 @@ def dist_solve(
         shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
-    zeros = jnp.zeros((P_, A.n_local), bp.dtype)
-    xp, info_stacked = fn(A, bp, x0p if has_x0 else zeros,
-                          M if has_m else zeros)
+    xp, info_stacked = fn(A, bp, x0p if has_x0 else zeros, m_arg)
     info = jax.tree.map(lambda v: v[0], info_stacked)
     return gather_vector(xp, A.n_global), info
 

@@ -51,13 +51,10 @@ def _power_lower_pattern(S, q: int):
     ]
 
 
-def fsai(A, q: int = 1):
-    """FSAI(q): G ≈ L^{-1} (inverse Cholesky factor) over the lower pattern
-    of |A|^q; M^{-1} = G^T G (reference: FSAI preconditioner, SetPrecondMat
-    power(q) pattern).
-
-    Setup = one batched (n, m, m) dense solve; apply = two SpMVs.
-    """
+def fsai_matrices(A, q: int = 1):
+    """Build the FSAI(q) factor pair (G, G^T) as CSR matrices — used by the
+    local closure below and by the distributed BlockJacobi builder
+    (parallel/precond.py), which stacks per-block factors."""
     csr = A if isinstance(A, CSR) else to_csr(A)
     S = _scipy_csr(csr)
     n = csr.shape[0]
@@ -89,7 +86,17 @@ def fsai(A, q: int = 1):
         cols.extend(J.tolist())
         vals.extend(gi.tolist())
     G = CSR.from_coo(rows, cols, np.asarray(vals, S.dtype), (n, n))
-    Gt = G.transpose_host()
+    return G, G.transpose_host()
+
+
+def fsai(A, q: int = 1):
+    """FSAI(q): G ≈ L^{-1} (inverse Cholesky factor) over the lower pattern
+    of |A|^q; M^{-1} = G^T G (reference: FSAI preconditioner, SetPrecondMat
+    power(q) pattern).
+
+    Setup = one batched (n, m, m) dense solve; apply = two SpMVs.
+    """
+    G, Gt = fsai_matrices(A, q)
 
     def apply(r):
         return spmv(Gt, spmv(G, r))
@@ -97,10 +104,9 @@ def fsai(A, q: int = 1):
     return apply
 
 
-def spai(A):
-    """SPAI: M minimizing ||A M - I||_F over the pattern of A; apply = one
-    SpMV (reference: SPAI preconditioner, host-only kernel there — batched
-    normal-equation solves here)."""
+def spai_matrix(A) -> CSR:
+    """Build the SPAI matrix M (min ||A M - I||_F over A's pattern) — used
+    by the local closure below and the distributed BlockJacobi builder."""
     csr = A if isinstance(A, CSR) else to_csr(A)
     S = _scipy_csr(csr)
     n = csr.shape[0]
@@ -126,7 +132,14 @@ def spai(A):
         rows.extend(J.tolist())
         cols.extend([j] * k)
         vals.extend(mvals[j, :k].tolist())
-    M = CSR.from_coo(rows, cols, np.asarray(vals, S.dtype), (n, n))
+    return CSR.from_coo(rows, cols, np.asarray(vals, S.dtype), (n, n))
+
+
+def spai(A):
+    """SPAI: M minimizing ||A M - I||_F over the pattern of A; apply = one
+    SpMV (reference: SPAI preconditioner, host-only kernel there — batched
+    normal-equation solves here)."""
+    M = spai_matrix(A)
     return lambda r: spmv(M, r)
 
 

@@ -57,6 +57,7 @@ def test_matrix_key():
 
 @pytest.mark.parametrize("sample", [
     "qmrcgstab", "sa_amg", "amg", "global_cg_amg", "cg", "stencil",
+    "global_krylov",
 ])
 def test_sample_runs(sample):
     """Sample programs execute and report convergence (reference: the

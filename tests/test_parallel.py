@@ -209,3 +209,27 @@ def test_dist_wjd_cg_f32(problem):
     assert int(iw.status) in (1, 2)
     assert abs(int(iw.iterations) - int(ix.iterations)) <= 2
     assert np.linalg.norm(np.asarray(xw) - x_true) < 1e-2
+
+
+@pytest.mark.parametrize("kind,solver_name", [
+    ("spai", "cg"), ("fsai", "cg"), ("ilu0", "fgmres"), ("ilut", "fgmres"),
+])
+def test_block_jacobi_local_precond(kind, solver_name):
+    """BlockJacobi with a LOCAL sub-preconditioner per diagonal block
+    (reference: preconditioner_blockjacobi.hpp, as used by fgmres_mpi/
+    idr_mpi/fcg_mpi/qmrcgstab_mpi): converges and beats no-precond."""
+    from rocalution_tpu.parallel import (block_jacobi_precond, dist_solve,
+                                         distribute_csr, make_mesh)
+
+    A = rt.laplacian_2d(32)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    Ag = distribute_csr(A, 8)
+    mesh = make_mesh(8)
+    solver = getattr(rt, solver_name)
+    _, i0 = dist_solve(solver, Ag, b, mesh=mesh, rel_tol=1e-8, max_iter=2000)
+    M = block_jacobi_precond(Ag, kind)
+    x, info = dist_solve(solver, Ag, b, M=M, mesh=mesh, rel_tol=1e-8,
+                         max_iter=2000)
+    err = np.linalg.norm(np.asarray(x) - 1.0)
+    assert err < 1e-5, (kind, err)
+    assert int(info.iterations) <= int(i0.iterations), (kind,)
