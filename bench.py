@@ -253,6 +253,20 @@ def main():
 
     section("f64", 30, sec_f64)
 
+    # ============ 3c. bf16 values, f32 accumulation ======================
+    # Half the matrix bytes at f32-quality sums — no reference counterpart
+    # (rocSPARSE csrmv is f32/f64 only); byte model (2+4)*nnz.
+    def sec_bf16():
+        from rocalution_tpu.formats.wjd import from_csr
+
+        Wb = from_csr(A, values_dtype="bfloat16")
+        t = chain_time(lambda c, W: spmv(W, c) * scale, x, Wb,
+                       budget_s=0.15, probe=20)
+        results["spmv_csr_bf16_gbps"] = (2 + isize) * nnz / t / 1e9
+        log(f"  spmv[csr bf16] {t*1e6:9.1f} us/op")
+
+    section("bf16", 30, sec_bf16)
+
     # ============ 3b. sharded-path SpMV (1-part shard_map, same chip) ====
     # The distributed code path (shard_map + halo machinery + per-shard WJD
     # interior) must stay within ~2x of the serial WJD rate — the reference
@@ -266,10 +280,21 @@ def main():
 
         Ag = distribute_csr(A, 1, wjd=True)
         mesh = make_mesh(1)
+
+        # The dependent chain runs INSIDE one shard_map call — how real
+        # solves work (dist_solve wraps the whole solver loop in a single
+        # shard_map). Crossing the shard_map boundary per op instead
+        # costs two (1, n)-layout relayout passes (~90 us measured, HLO
+        # reduce/reshape) that no actual solver iteration pays.
+        def body(Ash, xs, k):
+            xi = jax.lax.fori_loop(
+                0, k, lambda i, c: shard_spmv(Ash, c, "p") * scale, xs[0])
+            return xi[None]
+
         fn = jax.shard_map(
-            lambda Ash, xs: shard_spmv(Ash, xs[0], "p")[None],
-            mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: Pspec("p"), Ag), Pspec("p")),
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: Pspec("p"), Ag), Pspec("p"),
+                      Pspec()),
             out_specs=Pspec("p"),
             check_vma=False,      # pallas out_shapes carry no vma info
         )
@@ -278,8 +303,21 @@ def main():
         if pad > 0:
             xs = jnp.concatenate(
                 [x[None], jnp.zeros((1, pad), x.dtype)], axis=1)
-        t = chain_time(lambda c, Ag: fn(Ag, c) * scale, xs, Ag,
-                       budget_s=0.15, probe=20)
+        Agd = jax.device_put(Ag)
+
+        @jax.jit
+        def run(v, k, Ag):
+            return jnp.sum(fn(Ag, v, k))
+
+        float(run(xs, 2, Agd))
+        def timed(k):
+            t0 = time.perf_counter()
+            float(run(xs, k, Agd))
+            return time.perf_counter() - t0
+        timed(200)
+        t1 = min(timed(200) for _ in range(3))
+        t2 = min(timed(400) for _ in range(3))
+        t = max((t2 - t1) / 200, 1e-12)
         results["spmv_csr_shard1_gbps"] = spmv_bytes / t / 1e9
         log(f"  spmv[csr shard_map x1] {t*1e6:9.1f} us/op")
 
@@ -435,8 +473,10 @@ def main():
 
     # rand_band runs AFTER the solver rows: a failure or overrun here (the
     # r3 HTTP-413 remote-compile rejection) must not starve the end-to-end
-    # records the artifact is judged on.
-    section("rand_band", 40, sec_rand)
+    # records the artifact is judged on. Its real cost is ~70-85 s
+    # (conversion + compiles), so gate on that — a section that STARTS with
+    # less would blow through an external driver timeout mid-run.
+    section("rand_band", 90, sec_rand)
 
     # ============ 7. remaining formats (65k matrix, gather paths) ========
     # These run LAST: their XLA gather paths are the known-slow fallbacks

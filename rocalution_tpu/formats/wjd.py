@@ -140,8 +140,15 @@ _FF_COST_ROLL = 18.0
 
 def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
                max_slots: Optional[int] = 128,
-               kernel_mode: str = "auto") -> WJD:
+               kernel_mode: str = "auto",
+               values_dtype=None) -> WJD:
     """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
+
+    ``values_dtype="bfloat16"``: store the slot values (and spill) in
+    bfloat16 — half the matrix bytes, accumulation stays f32 in the kernel
+    (~1e-3 relative accuracy). A TPU-native capability with no reference
+    counterpart (rocSPARSE csrmv is f32/f64 only); intended for the inner
+    operator of MixedPrecisionDC or accuracy-tolerant smoother applies.
 
     ``max_slots`` caps slots per tile; entries in hotter slots spill to a
     COO tail handled by the XLA segment-sum path (the HYB ELL+COO split of
@@ -318,7 +325,8 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
 
     return _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
                      spill=spill, slot_info=(slot_t, slot_wid, k_of_slot),
-                     kernel_mode=kernel_mode, mode_u=mode_u)
+                     kernel_mode=kernel_mode, mode_u=mode_u,
+                     values_dtype=values_dtype)
 
 
 def _auto_group(K: int) -> int:
@@ -328,7 +336,8 @@ def _auto_group(K: int) -> int:
 
 
 def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
-              *, spill, slot_info=None, kernel_mode="gather", mode_u=None):
+              *, spill, slot_info=None, kernel_mode="gather", mode_u=None,
+              values_dtype=None):
     win = 1 << wlog
     nj = win // 128 + 1
     group = _auto_group(K)
@@ -395,7 +404,13 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     # exact (v = hi + lo); the kernel reconstitutes ~48-bit products.
     val_lo = None
     value_dtype = np.dtype(dtype).name
-    if np.dtype(dtype) == np.float64:
+    if values_dtype is not None and jnp.dtype(values_dtype) == jnp.bfloat16:
+        import ml_dtypes
+
+        val_arr = val_arr.astype(ml_dtypes.bfloat16)
+        sr, sc, sv = sr, sc, np.asarray(sv).astype(ml_dtypes.bfloat16)
+        value_dtype = "bfloat16"
+    elif np.dtype(dtype) == np.float64:
         hi = val_arr.astype(np.float32)
         val_lo = (val_arr - hi.astype(np.float64)).astype(np.float32)
         val_arr = hi

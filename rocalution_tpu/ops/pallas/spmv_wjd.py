@@ -151,7 +151,10 @@ def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
             j = dl >> 7                  # gather candidate in [0, nj)
             win = x_ref[pl.ds(base, rows), :]
             gat = _window_gather(win, c, j, nj)
-            return acc + val_ref[g, k] * gat
+            v = val_ref[g, k]
+            if v.dtype != acc_dtype:         # bf16 values, f32 accumulate
+                v = v.astype(acc_dtype)
+            return acc + v * gat
 
         y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
 
@@ -196,7 +199,10 @@ def _kernel_roll(brow_ref, diag_ref, x_ref, val_ref, y_ref, *,
         def slot(k, acc, g=g, t=t):
             gat = _rolled_window(x_ref, brow_ref[t, k], diag_ref[t, k],
                                  lane, roll)
-            return acc + val_ref[g, k] * gat
+            v = val_ref[g, k]
+            if v.dtype != acc_dtype:         # bf16 values, f32 accumulate
+                v = v.astype(acc_dtype)
+            return acc + v * gat
 
         y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
 
@@ -251,6 +257,8 @@ def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
             c = dl & 127
             j = dl >> 7
             v = val_ref[g, k]
+            if v.dtype != acc_dtype:         # bf16 values, f32 accumulate
+                v = v.astype(acc_dtype)
             out = []
             for q in range(kc):          # static unroll over RHS columns
                 win = x_ref[q, pl.ds(base, rows), :]
@@ -332,6 +340,10 @@ def _specs(A, x_shapes):
 def _wjd_apply_32(A: WJD, xp2d, interpret):
     grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
         A, [xp2d.shape])
+    # bf16 values accumulate in f32 (half the matrix bytes, f32-quality
+    # sums — no reference counterpart, rocSPARSE csrmv is f32/f64 only)
+    acc_dt = (jnp.float32 if A.data.dtype == jnp.bfloat16
+              else A.data.dtype)
     if A.kernel_mode == "roll":
         kern = functools.partial(_kernel_roll, K=K, group=group,
                                  interpret=interpret)
@@ -343,7 +355,7 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
                 in_specs=x_specs + [slot_spec],
                 out_specs=out_spec,
             ),
-            out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), A.data.dtype),
+            out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
             interpret=interpret,
         )(A.brow, A.diag_u, xp2d, A.data)
     kern = functools.partial(_kernel, K=K, group=group, nj=A.nj)
@@ -355,7 +367,7 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
             in_specs=x_specs + [slot_spec, slot_spec],
             out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), A.data.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
         interpret=interpret,
     )(A.brow, A.diag_u, xp2d, A.data, A.uloc)
     return y
@@ -433,6 +445,8 @@ def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
         out_spec = pl.BlockSpec((kc, group, 8, 128),
                                 lambda i, *_: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
+        acc_dt = (jnp.float32 if A.data.dtype == jnp.bfloat16
+                  else A.data.dtype)
         y = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -441,7 +455,7 @@ def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
                 in_specs=x_specs + [slot_spec, slot_spec],
                 out_specs=out_spec,
             ),
-            out_shape=jax.ShapeDtypeStruct((kc, Tp, 8, 128), A.data.dtype),
+            out_shape=jax.ShapeDtypeStruct((kc, Tp, 8, 128), acc_dt),
             interpret=interpret,
         )(A.brow, A.diag_u, xp3d, A.data, A.uloc)
         return y

@@ -323,3 +323,35 @@ def test_wjd_roll_mode_f64(rng):
     ref = S @ x
     got = np.asarray(wjd_spmv(W, jnp.asarray(x), interpret=True))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-13
+
+
+def test_wjd_bf16_values():
+    """bf16-values WJD: half the matrix bytes, f32 accumulation (~1e-3
+    relative). No reference counterpart (rocSPARSE csrmv is f32/f64); the
+    TPU-native extension for accuracy-tolerant applies (inner MPDC
+    operator, smoothers)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from rocalution_tpu.formats.wjd import from_csr
+    from rocalution_tpu.ops.spmv import spmv
+
+    rng = np.random.default_rng(3)
+    A = rt.random_banded_spd(4000, bandwidth=300)
+    d, i, p = A.numpy_triplet()
+    S = sp.csr_matrix((d.astype(np.float64), i, p), shape=A.shape)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    for mode in ("roll", "gather"):
+        W = from_csr(A, values_dtype="bfloat16", kernel_mode=mode)
+        assert W.data.dtype == jnp.bfloat16
+        y = np.asarray(spmv(W, jnp.asarray(x)))
+        assert y.dtype == np.float32
+        ref = S @ x.astype(np.float64)
+        rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert rel < 2e-2, (mode, rel)
+    # multi-RHS rides the batched kernel with f32 accumulators
+    X = rng.standard_normal((A.shape[0], 3)).astype(np.float32)
+    W = from_csr(A, values_dtype="bfloat16", kernel_mode="gather")
+    Y = np.asarray(spmv(W, jnp.asarray(X)))
+    rel = np.linalg.norm(Y - S @ X.astype(np.float64)) / np.linalg.norm(S @ X)
+    assert rel < 2e-2, rel
