@@ -110,6 +110,21 @@ def _use_pallas(wjd, xdt) -> bool:
     return False
 
 
+# the WJD kernel SMEM-prefetches brow + diag_u ((Tp, K) int32 each); the
+# per-kernel SMEM budget is 1 MiB, so matrices whose slot plan exceeds it
+# (huge K from scattered columns — e.g. AMG transfer operators) must stay
+# on the XLA path. Seen on hardware: (2056, 128) brow -> 1052672 B > 1 MiB.
+_WJD_SMEM_BUDGET = 900_000
+
+
+def _wjd_fits(W) -> bool:
+    from ..formats.wjd import ComplexWJD
+
+    if isinstance(W, ComplexWJD):
+        return _wjd_fits(W.re)
+    return 2 * 4 * int(W.brow.size) <= _WJD_SMEM_BUDGET
+
+
 def attach_wjd(A: CSR, **kwargs) -> CSR:
     """Attach a WJD fast-apply representation to a host-built CSR (the analog
     of rocSPARSE csrmv analysis, hip_sparse.hpp csrmv_analysis). Subsequent
@@ -117,10 +132,20 @@ def attach_wjd(A: CSR, **kwargs) -> CSR:
     the attachment is invisible to pytree flattening (jit-argument copies
     fall back to the XLA path). Solvers auto-attach at build via
     `as_operator` (see `maybe_attach_wjd`), so on TPU a plain `rt.cg(A_csr,
-    b)` rides the kernel with no manual step."""
+    b)` rides the kernel with no manual step.
+
+    Raises ValueError when the slot plan cannot fit the kernel's SMEM
+    budget (use the XLA path instead); `maybe_attach_wjd` treats that as
+    "not eligible" silently."""
     from ..formats.wjd import from_csr
 
-    object.__setattr__(A, "_wjd_cache", from_csr(A, **kwargs))
+    W = from_csr(A, **kwargs)
+    if not _wjd_fits(W):
+        raise ValueError(
+            f"WJD slot plan ({W.brow.shape}) exceeds the kernel SMEM "
+            "budget; matrix is too scattered for the fast path"
+        )
+    object.__setattr__(A, "_wjd_cache", W)
     return A
 
 
@@ -191,7 +216,10 @@ def maybe_attach_wjd(A):
         from ..formats.wjd import from_csr
         from ..utils.log import log_info
 
-        object.__setattr__(A, "_wjd_cache", from_csr(to_csr(A)))
+        W = from_csr(to_csr(A))
+        if not _wjd_fits(W):
+            return A
+        object.__setattr__(A, "_wjd_cache", W)
         log_info(
             f"{type(A).__name__} apply is gather-bound on TPU; routing "
             "SpMV through the WJD Pallas kernel (set_auto_wjd(False) to "

@@ -49,6 +49,13 @@ def amg_hierarchy(
     while ops[-1].shape[0] > coarse_size and len(ops) < max_levels:
         kw = dict(level_kwargs)
         kw.setdefault("seed", len(ops))     # vary Luby priorities per level
+        if kind in ("sa", "ua"):
+            # coupling threshold HALVES per level (reference:
+            # smoothed_amg.cpp:263-267 — eps *= 0.5 for each built level):
+            # Galerkin coarse operators have progressively weaker relative
+            # off-diagonals, and a fixed eps stalls aggregation into
+            # singletons after 1-2 levels (seen at 2M unknowns, 3D Poisson)
+            kw["eps"] = (kw.get("eps", 0.08) * 0.5 ** (len(ops) - 1))
         try:
             P, R, Ac = level_fn(ops[-1], **kw)
         except ValueError:

@@ -132,8 +132,37 @@ def build_hierarchy(
             smooth=None if last else mk_smooth(A),
         ))
     if coarse_solve is None:
-        coarse_solve = qr_factor(ops[-1])
+        coarse_solve = default_coarse_solve(ops[-1])
     return Hierarchy(levels, coarse_solve, pre_sweeps, post_sweeps, cycle)
+
+
+# dense coarse factorization above this size would allocate O(n^2) — a
+# 263k-row coarse level (seen when aggregation stalled) means 518 GiB
+_DENSE_COARSE_MAX = 8192
+
+
+def default_coarse_solve(A) -> Callable:
+    """Coarsest-level solve: dense QR when small (reference default
+    LU/redundant, base_amg.cpp), else a fixed-budget Jacobi-CG closure —
+    never a dense factorization of a large operator."""
+    if A.shape[0] <= _DENSE_COARSE_MAX:
+        return qr_factor(A)
+    from ...utils.log import log_info
+
+    log_info(
+        f"AMG coarse level has {A.shape[0]} rows (> {_DENSE_COARSE_MAX}); "
+        "using an iterative (CG+Jacobi) coarse solve instead of dense QR"
+    )
+    from ...precond.jacobi import inverse_diagonal
+    from ..krylov.cg import cg
+
+    inv_d = inverse_diagonal(A)
+
+    def solve(b):
+        x, _ = cg(A, b, M=lambda r: inv_d * r, rel_tol=1e-10, max_iter=200)
+        return x
+
+    return solve
 
 
 def rebuild_hierarchy_numeric(h: Hierarchy, A_new) -> Hierarchy:
@@ -156,7 +185,7 @@ def rebuild_hierarchy_numeric(h: Hierarchy, A_new) -> Hierarchy:
         levels.append(MGLevel(A=A, P=lv.P, R=lv.R,
                               smooth=jacobi_smoother(A)))
         A = triple_product(to_csr(lv.R), A, to_csr(lv.P))
-    return Hierarchy(levels, qr_factor(levels[-1].A), h.pre_sweeps,
+    return Hierarchy(levels, default_coarse_solve(levels[-1].A), h.pre_sweeps,
                      h.post_sweeps, h.cycle, h.scaling, h.host_levels)
 
 
@@ -197,7 +226,7 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
         ))
     coarse = h.coarse_solve
     if dtype is not None:
-        coarse = qr_factor(new_levels[-1].A)
+        coarse = default_coarse_solve(new_levels[-1].A)
     return Hierarchy(new_levels, coarse, h.pre_sweeps,
                      h.post_sweeps, h.cycle, h.scaling, h.host_levels)
 
@@ -210,6 +239,21 @@ def _energy_factor(w, t, At):
     return jnp.where(den == 0, 1.0, num / jnp.where(den == 0, 1.0, den))
 
 
+def _attach_fast_applies(h: Hierarchy) -> None:
+    """Give every level operator its WJD fast apply NOW — cycle closures
+    are built at setup but their spmvs first run inside a traced solver
+    body, where attachment is forbidden (tracer-leak guard, ops/spmv.py).
+    Without this, smoother applies on CSR levels silently ride the
+    collapsed XLA gather path on TPU. Transfers (P/R) are left on the XLA
+    path: their highly rectangular column maps blow the slot cap (K=128
+    with ~1 MB of SMEM-prefetched brow — over the per-kernel SMEM budget,
+    seen at 2M unknowns)."""
+    from ...ops.spmv import maybe_attach_wjd
+
+    for lv in h.levels:
+        maybe_attach_wjd(lv.A)
+
+
 def cycle_closure(h: Hierarchy) -> Callable:
     """The multigrid cycle as a preconditioner closure r -> e ≈ A^{-1} r.
 
@@ -220,6 +264,7 @@ def cycle_closure(h: Hierarchy) -> Callable:
     `h.host_levels` the coarsest levels run on the host inside a
     pure_callback (base_multigrid.cpp:802-813 MoveToHost analog).
     """
+    _attach_fast_applies(h)              # setup phase: before any tracing
     cyc = h.cycle.upper()
     L = h.num_levels
     boundary = max(0, L - h.host_levels) if h.host_levels > 0 else None

@@ -180,9 +180,9 @@ def test_energy_min_scaling_changes_convergence(rng):
     mildly damped smoother it must not diverge."""
     from rocalution_tpu.solvers.multigrid import amg_hierarchy, mg_solve
 
-    A = rt.anisotropic_laplacian_2d(24, epsilon=0.05)
+    A = rt.anisotropic_laplacian_2d(40, epsilon=0.05)
     b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
-    h = amg_hierarchy(A, "sa", coarse_size=40)
+    h = amg_hierarchy(A, "sa", coarse_size=10)
     assert h.num_levels >= 4  # scaling is active only for 0<l<L-2 windows
     x0, i0 = mg_solve(h, b, rel_tol=1e-8, max_iter=60)
     x1, i1 = mg_solve(h.with_options(scaling=True), b, rel_tol=1e-8,
@@ -348,3 +348,22 @@ def test_rs_pmis_device_coarsening(rng):
     x, info = mg_solve(h, b, rel_tol=1e-8, max_iter=80)
     assert int(info.status) in (1, 2)
     assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+
+
+def test_sa_eps_decays_per_level_3d():
+    """Regression (r3, seen at 2M unknowns): with a FIXED coupling
+    threshold the level-2 Galerkin operator's relative off-diagonals
+    (~0.03-0.06) all fall below eps=0.08, the strength graph is empty,
+    aggregation degenerates to singletons and the hierarchy stalls at a
+    263k-row 'coarse' level (dense QR would want 518 GiB). The reference
+    HALVES eps per level (smoothed_amg.cpp:263-267); we must too."""
+    from rocalution_tpu.solvers.multigrid import amg_hierarchy
+
+    A = rt.laplacian_3d(24, dtype=np.float64)     # 13.8k unknowns
+    h = amg_hierarchy(A, "sa", coarse_size=200)
+    sizes = h.operator_sizes()
+    assert len(sizes) >= 3, sizes
+    assert sizes[-1] <= 400, sizes
+    # each level really coarsens (no near-stall)
+    for a, b in zip(sizes, sizes[1:]):
+        assert b <= a // 3, sizes

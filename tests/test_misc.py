@@ -106,3 +106,42 @@ def test_profile_context_manager(tmp_path, rng):
     assert latest_trace_file(logdir) is not None
     with profile("unused", enabled=False) as d:
         assert d is None
+
+
+def test_hoisted_jit_no_closure_constants():
+    """hoisted_jit lifts closure-captured operator arrays into arguments:
+    the compiled HLO must contain no large constants (closure-captured
+    operators exceed relay-tunnel compile-request limits at scale — seen
+    as HTTP 413 at 2M unknowns; utils/hoist.py)."""
+    import jax
+
+    from rocalution_tpu.utils import hoisted_jit
+
+    A = rt.laplacian_2d(48)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    M = rt.jacobi(A)
+
+    def raw(b):
+        x, info = rt.cg(A, b, M=M, rel_tol=1e-10, max_iter=400)
+        return x, info.iterations
+
+    solve = hoisted_jit(raw, b)
+    x, iters = solve(b)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-6
+    x2, _ = solve(b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2))
+    # the raw closure embeds the operator as jaxpr consts...
+    raw_consts = sum(int(np.size(c)) for c in jax.make_jaxpr(raw)(b).consts)
+    assert raw_consts >= A.nnz, raw_consts
+    # ...the hoisted program carries them as ARGUMENTS instead
+    from jax import tree_util
+
+    consts = jax.device_put(list(jax.make_jaxpr(raw)(b).consts))
+
+    def hoisted(consts, b):
+        jx = jax.make_jaxpr(raw)(b)
+        return jax.core.eval_jaxpr(jx.jaxpr, consts, b)
+
+    embedded = sum(
+        int(np.size(c)) for c in jax.make_jaxpr(hoisted)(consts, b).consts)
+    assert embedded < 10_000, f"large constants still embedded: {embedded}"
