@@ -57,7 +57,7 @@ def test_matrix_key():
 
 @pytest.mark.parametrize("sample", [
     "qmrcgstab", "sa_amg", "amg", "global_cg_amg", "cg", "stencil",
-    "global_krylov",
+    "global_krylov", "poisson3d_large",
 ])
 def test_sample_runs(sample):
     """Sample programs execute and report convergence (reference: the
@@ -76,6 +76,7 @@ def test_sample_runs(sample):
         timeout=420,
         env={"PATH": "/usr/bin:/bin", "HOME": "/root",
              "PYTHONPATH": root,
+             "POISSON_N": "24",        # CI-size for the scale demo
              "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
