@@ -265,7 +265,7 @@ def main():
         results["spmv_csr_bf16_gbps"] = (2 + isize) * nnz / t / 1e9
         log(f"  spmv[csr bf16] {t*1e6:9.1f} us/op")
 
-    section("bf16", 30, sec_bf16)
+    # (bf16 registered after the solver rows — see below)
 
     # ============ 3b. sharded-path SpMV (1-part shard_map, same chip) ====
     # The distributed code path (shard_map + halo machinery + per-shard WJD
@@ -321,7 +321,7 @@ def main():
         results["spmv_csr_shard1_gbps"] = spmv_bytes / t / 1e9
         log(f"  spmv[csr shard_map x1] {t*1e6:9.1f} us/op")
 
-    section("shard1", 40, sec_shard1)
+    # (shard1 registered after the solver rows — see below)
 
     # ============ 4. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
     def sec_blas1():
@@ -470,6 +470,12 @@ def main():
             f"res={float(info_mp.final_res):.3e}")
 
     section("mpdc", 40, sec_mpdc)
+
+    # bf16 and shard1 are EXTRA rows (no VERDICT/target requirement):
+    # they run after every required record (headline, f64, solver rows)
+    # so a slow environment can never starve the judged artifacts.
+    section("bf16", 30, sec_bf16)
+    section("shard1", 40, sec_shard1)
 
     # rand_band runs AFTER the solver rows: a failure or overrun here (the
     # r3 HTTP-413 remote-compile rejection) must not starve the end-to-end
