@@ -141,8 +141,21 @@ _FF_COST_ROLL = 18.0
 def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
                max_slots: Optional[int] = 128,
                kernel_mode: str = "auto",
-               values_dtype=None) -> WJD:
+               values_dtype=None, cache: bool = True) -> WJD:
     """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
+    Thin wrapper: plan (or load the cached plan — see wjd_cache.py) then
+    materialize device arrays once at the end."""
+    return _plan_to_wjd(csr_to_wjd_plan(
+        vals, cols, indptr, shape, wlog=wlog, max_slots=max_slots,
+        kernel_mode=kernel_mode, values_dtype=values_dtype, cache=cache))
+
+
+def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
+                    max_slots: Optional[int] = 128,
+                    kernel_mode: str = "auto",
+                    values_dtype=None, cache: bool = True) -> dict:
+    """Host-side CSR -> WJD *plan* (numpy arrays + static fields only —
+    no device arrays; see `_plan_to_wjd`). The analysis stage proper.
 
     ``values_dtype="bfloat16"``: store the slot values (and spill) in
     bfloat16 — half the matrix bytes, accumulation stays f32 in the kernel
@@ -161,12 +174,29 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
     matrices get this for free (slot count = diagonals per tile, zero
     extra spill); scattered matrices stay in gather mode (slot count would
     explode). "auto" picks by the per-slot cost model.
+
+    ``cache``: persist/reuse the finished plan on disk keyed by a content
+    hash of the triplet + options (wjd_cache.py) — the csrmv-analysis cost
+    is then paid once per machine, not once per process.
     """
     n, m = int(shape[0]), int(shape[1])
     vals = np.asarray(vals)
     cols = np.asarray(cols, dtype=np.int64)
     indptr = np.asarray(indptr, dtype=np.int64)
     nnz = len(vals)
+
+    key = None
+    if cache and nnz >= 100_000:          # small plans replan faster than IO
+        from . import wjd_cache
+
+        key = wjd_cache.plan_key(vals, cols, indptr, shape, {
+            "wlog": wlog, "max_slots": max_slots,
+            "kernel_mode": kernel_mode, "values_dtype": values_dtype,
+        })
+        hit = wjd_cache.load_plan(key)
+        if hit is not None:
+            return hit
+
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
 
     if nnz == 0:
@@ -257,9 +287,24 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
     spill_c = _FF_COST_SPILL if ff_vals else _COST_SPILL
     roll_c = _FF_COST_ROLL if ff_vals else _COST_ROLL
 
+    # roll candidate FIRST (diagonal slots, fixed 256-wide windows): when a
+    # matrix is clearly banded — few diagonal slots, negligible spill — the
+    # roll plan always wins the cost model, so the (more expensive) gather
+    # planning sweep is skipped entirely. Single-pass auto analysis.
+    cost_r = cap_r = plan_r = None
+    if kernel_mode != "gather":
+        wl_r = 8 if wlog == "auto" else int(wlog)
+        plan_r = plan_roll(wl_r)
+        cost_r, cap_r = cap_cost(plan_r[3], plan_r[4], roll_c, spill_c)
+
+    clearly_banded = (
+        kernel_mode == "auto" and cap_r is not None and cap_r <= 12
+        and cost_r <= 1.05 * (T * cap_r * roll_c)   # spill share tiny
+    )
+
     # gather candidate (window/rank slots, auto window width)
     cost_g = cap_g = plan_g = wl_g = None
-    if kernel_mode != "roll":
+    if kernel_mode != "roll" and not clearly_banded:
         best = None
         wls = (8, 10, 11) if wlog == "auto" else (wlog,)
         for wl in wls:
@@ -270,13 +315,6 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
             if wlog == "auto" and len(p[3]) * TILE < 2 * nnz:
                 break                        # already tight: stop widening
         cost_g, wl_g, cap_g, plan_g = best
-
-    # roll candidate (diagonal slots, fixed 256-wide windows)
-    cost_r = cap_r = plan_r = None
-    if kernel_mode != "gather":
-        wl_r = 8 if wlog == "auto" else int(wlog)
-        plan_r = plan_roll(wl_r)
-        cost_r, cap_r = cap_cost(plan_r[3], plan_r[4], roll_c, spill_c)
 
     if kernel_mode == "roll" or (kernel_mode == "auto"
                                  and cost_r is not None
@@ -323,10 +361,16 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
         mode_u = np.zeros(T * K, np.int64)
         mode_u[slot_t * K + k_of_slot] = slot_d - (slot_wid << wlog)
 
-    return _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
-                     spill=spill, slot_info=(slot_t, slot_wid, k_of_slot),
-                     kernel_mode=kernel_mode, mode_u=mode_u,
-                     values_dtype=values_dtype)
+    plan_out = _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
+                         spill=spill,
+                         slot_info=(slot_t, slot_wid, k_of_slot),
+                         kernel_mode=kernel_mode, mode_u=mode_u,
+                         values_dtype=values_dtype)
+    if key is not None:
+        from . import wjd_cache
+
+        wjd_cache.save_plan(key, plan_out)
+    return plan_out
 
 
 def _auto_group(K: int) -> int:
@@ -414,23 +458,47 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         hi = val_arr.astype(np.float32)
         val_lo = (val_arr - hi.astype(np.float64)).astype(np.float32)
         val_arr = hi
-    return WJD(
-        data=jnp.asarray(val_arr),
-        data_lo=None if val_lo is None else jnp.asarray(val_lo),
-        uloc=jnp.asarray(u_arr.astype(udtype)),
-        brow=jnp.asarray(brow_arr, dtype=jnp.int32),
-        diag_u=jnp.asarray(diag_arr),
-        spill_row=jnp.asarray(sr, dtype=jnp.int32),
-        spill_col=jnp.asarray(sc, dtype=jnp.int32),
-        spill_val=jnp.asarray(sv),
+    return dict(
+        data=val_arr,
+        data_lo=val_lo,
+        uloc=u_arr.astype(udtype),
+        brow=brow_arr.astype(np.int32),
+        diag_u=diag_arr,
+        spill_row=np.asarray(sr, dtype=np.int32),
+        spill_col=np.asarray(sc, dtype=np.int32),
+        spill_val=np.asarray(sv),
         shape=(n, m),
-        pad_lo=pad_lo,
+        pad_lo=int(pad_lo),
         xp_len=int(xp_len),
         nnz=int(nnz),
         group=int(group),
         wlog=int(wlog),
         value_dtype=value_dtype,
         kernel_mode=kernel_mode,
+    )
+
+
+def _plan_to_wjd(plan: dict) -> WJD:
+    """Materialize a host plan as the WJD device pytree (one upload per
+    array; the only jnp construction on the conversion path)."""
+    return WJD(
+        data=jnp.asarray(plan["data"]),
+        data_lo=(None if plan["data_lo"] is None
+                 else jnp.asarray(plan["data_lo"])),
+        uloc=jnp.asarray(plan["uloc"]),
+        brow=jnp.asarray(plan["brow"], dtype=jnp.int32),
+        diag_u=jnp.asarray(plan["diag_u"]),
+        spill_row=jnp.asarray(plan["spill_row"], dtype=jnp.int32),
+        spill_col=jnp.asarray(plan["spill_col"], dtype=jnp.int32),
+        spill_val=jnp.asarray(plan["spill_val"]),
+        shape=tuple(plan["shape"]),
+        pad_lo=int(plan["pad_lo"]),
+        xp_len=int(plan["xp_len"]),
+        nnz=int(plan["nnz"]),
+        group=int(plan["group"]),
+        wlog=int(plan["wlog"]),
+        value_dtype=plan["value_dtype"],
+        kernel_mode=plan["kernel_mode"],
     )
 
 
@@ -470,67 +538,70 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     (global_matrix.cpp:976-1007).
 
     `parts`: list of (vals, cols, indptr) host triplets. Part 0's auto
-    window choice fixes `wlog` for all parts (uniform nj ⇒ one kernel)."""
+    window choice fixes `wlog` for all parts (uniform nj ⇒ one kernel).
+
+    Works entirely on host PLANS (csr_to_wjd_plan) — device arrays are
+    created once at the end, never read back."""
     ws = []
     wl = wlog
     kmode = None
     for (v, c, p) in parts:
-        w = csr_to_wjd(v, c, p, shape,
-                       wlog=(wl if wl is not None else "auto"),
-                       max_slots=max_slots,
-                       kernel_mode=(kmode or "auto"))
+        w = csr_to_wjd_plan(v, c, p, shape,
+                            wlog=(wl if wl is not None else "auto"),
+                            max_slots=max_slots,
+                            kernel_mode=(kmode or "auto"))
         if wl is None:
-            wl = w.wlog
+            wl = w["wlog"]
         if kmode is None:
-            kmode = w.kernel_mode   # part 0 decides for every part
+            kmode = w["kernel_mode"]   # part 0 decides for every part
         ws.append(w)
 
     P = len(ws)
     n, m = int(shape[0]), int(shape[1])
-    K = max(w.brow.shape[1] for w in ws)
+    K = max(w["brow"].shape[1] for w in ws)
     group = _auto_group(K)
     T = max(1, -(-n // TILE))
     Tp = -(-T // group) * group
-    pad_lo = -(-max(w.pad_lo for w in ws) // 128) * 128
+    pad_lo = -(-max(w["pad_lo"] for w in ws) // 128) * 128
     nj = (1 << wl) // 128 + 1
     # padded-x length must cover every part's deepest (shifted) window load
     xp_len = max(
-        max((int(np.asarray(w.brow).max()) + (pad_lo - w.pad_lo) // 128
+        max((int(w["brow"].max()) + (pad_lo - w["pad_lo"]) // 128
              + _load_rows(nj)) * 128 for w in ws),
         -(-(pad_lo + m) // 128) * 128,
     )
-    nspill = max(w.spill_row.shape[0] for w in ws)
-    ff = ws[0].data_lo is not None
-    vdtype = np.asarray(ws[0].data).dtype
+    nspill = max(w["spill_row"].shape[0] for w in ws)
+    ff = ws[0]["data_lo"] is not None
+    vdtype = ws[0]["data"].dtype
 
     def alloc(shp, dtype, fill=0):
         return np.full((P,) + shp, fill, dtype=dtype)
 
     data = alloc((Tp, K, 8, 128), vdtype)
     dlo = alloc((Tp, K, 8, 128), vdtype) if ff else None
-    uloc = alloc((Tp, K, 8, 128), np.asarray(ws[0].uloc).dtype)
+    uloc = alloc((Tp, K, 8, 128), ws[0]["uloc"].dtype)
     brow = alloc((Tp, K), np.int32)
     # roll mode reads diag_u unconditionally: pad slots must be 0, not -1
     diag = alloc((Tp, K), np.int32, fill=(0 if kmode == "roll" else -1))
     sr = alloc((nspill,), np.int32)
     sc = alloc((nspill,), np.int32)
-    sv = alloc((nspill,), np.asarray(ws[0].spill_val).dtype)
+    sv = alloc((nspill,), ws[0]["spill_val"].dtype)
 
     for q, w in enumerate(ws):
-        Tq, Kq = w.brow.shape
+        Tq, Kq = w["brow"].shape
         tq, kq = min(Tq, Tp), Kq
-        data[q, :tq, :kq] = np.asarray(w.data)[:tq]
+        data[q, :tq, :kq] = w["data"][:tq]
         if ff:
-            dlo[q, :tq, :kq] = np.asarray(w.data_lo)[:tq]
-        uloc[q, :tq, :kq] = np.asarray(w.uloc)[:tq]
-        brow[q, :tq, :kq] = (np.asarray(w.brow)[:tq]
-                             + (pad_lo - w.pad_lo) // 128)
-        diag[q, :tq, :kq] = np.asarray(w.diag_u)[:tq]
-        ns = w.spill_row.shape[0]
+            dlo[q, :tq, :kq] = w["data_lo"][:tq]
+        uloc[q, :tq, :kq] = w["uloc"][:tq]
+        brow[q, :tq, :kq] = (w["brow"][:tq]
+                             + (pad_lo - w["pad_lo"]) // 128)
+        diag[q, :tq, :kq] = w["diag_u"][:tq]
+        ns = w["spill_row"].shape[0]
         if ns:
-            sr[q, :ns] = np.asarray(w.spill_row)
-            sc[q, :ns] = np.asarray(w.spill_col)
-            sv[q, :ns] = np.asarray(w.spill_val)
+            sr[q, :ns] = w["spill_row"]
+            sc[q, :ns] = w["spill_col"]
+            sv[q, :ns] = w["spill_val"]
 
     return WJD(
         data=jnp.asarray(data),
@@ -544,10 +615,10 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
         shape=(n, m),
         pad_lo=int(pad_lo),
         xp_len=int(xp_len),
-        nnz=int(sum(w.nnz for w in ws)),
+        nnz=int(sum(w["nnz"] for w in ws)),
         group=int(group),
         wlog=int(wl),
-        value_dtype=ws[0].value_dtype,
+        value_dtype=ws[0]["value_dtype"],
         kernel_mode=kmode or "gather",
     )
 

@@ -355,3 +355,70 @@ def test_wjd_bf16_values():
     Y = np.asarray(spmv(W, jnp.asarray(X)))
     rel = np.linalg.norm(Y - S @ X.astype(np.float64)) / np.linalg.norm(S @ X)
     assert rel < 2e-2, rel
+
+
+def test_wjd_plan_disk_cache(tmp_path, monkeypatch):
+    """On-disk plan cache (wjd_cache.py): a cached plan must reconstruct a
+    WJD identical to a fresh analysis — arrays, statics, and SpMV result —
+    across f32, float-float f64, and bf16 variants (the analog of paying
+    the reference's csrmv-analysis once; key = content hash)."""
+    import dataclasses
+
+    from rocalution_tpu.formats import wjd_cache
+    from rocalution_tpu.formats.wjd import csr_to_wjd_plan
+
+    monkeypatch.setenv("ROCALUTION_TPU_PLAN_CACHE", str(tmp_path))
+    rng = np.random.default_rng(0)
+    A = rt.random_banded_spd(2000, bandwidth=100, dtype=np.float64)
+    d, i, p = A.numpy_triplet()
+    # force caching below the size floor by hashing directly
+    for kwargs in ({}, {"values_dtype": "bfloat16"},
+                   {"kernel_mode": "gather"}):
+        key = wjd_cache.plan_key(d, i, p, A.shape, kwargs)
+        fresh = csr_to_wjd_plan(d, i, p, A.shape, cache=False, **kwargs)
+        wjd_cache.save_plan(key, fresh)
+        loaded = wjd_cache.load_plan(key)
+        assert loaded is not None
+        for f in ("data", "data_lo", "uloc", "brow", "diag_u",
+                  "spill_row", "spill_col", "spill_val"):
+            a, b = fresh[f], loaded[f]
+            if a is None:
+                assert b is None
+                continue
+            assert a.dtype == b.dtype, f
+            np.testing.assert_array_equal(np.asarray(a, np.float32)
+                                          if str(a.dtype) == "bfloat16"
+                                          else a,
+                                          np.asarray(b, np.float32)
+                                          if str(b.dtype) == "bfloat16"
+                                          else b, err_msg=f)
+        for f in ("shape", "pad_lo", "xp_len", "nnz", "group", "wlog",
+                  "value_dtype", "kernel_mode"):
+            assert fresh[f] == loaded[f], f
+    # version bump or corrupt file -> miss, not crash
+    key = wjd_cache.plan_key(d, i, p, A.shape, {})
+    path = tmp_path / (key + ".npz")
+    path.write_bytes(b"not an npz")
+    assert wjd_cache.load_plan(key) is None
+
+
+def test_wjd_plan_cache_hit_in_conversion(tmp_path, monkeypatch):
+    """csr_to_wjd with cache=True round-trips through the disk cache at
+    >=100k nnz and produces a working SpMV."""
+    import scipy.sparse as sp
+
+    monkeypatch.setenv("ROCALUTION_TPU_PLAN_CACHE", str(tmp_path))
+    rng = np.random.default_rng(1)
+    A = rt.random_banded_spd(30000, bandwidth=300)   # > 100k nnz
+    d, i, p = A.numpy_triplet()
+    W1 = csr_to_wjd(d, i, p, A.shape)
+    files = list(tmp_path.glob("*.npz"))
+    assert len(files) == 1                 # plan persisted
+    W2 = csr_to_wjd(d, i, p, A.shape)      # cache hit path
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y1 = np.asarray(spmv(W1, jnp.asarray(x)))
+    y2 = np.asarray(spmv(W2, jnp.asarray(x)))
+    np.testing.assert_array_equal(y1, y2)
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+    rel = np.linalg.norm(y1 - S @ x) / np.linalg.norm(S @ x)
+    assert rel < 1e-5
