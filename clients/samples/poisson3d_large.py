@@ -52,7 +52,10 @@ hier = convert_hierarchy(hier, dtype=np.float32)
 M = cycle_closure(hier)
 # b = A @ 1 computed host-side (the fine f64 operator never leaves host)
 d, i, p = A.numpy_triplet()
-b = np.add.reduceat(d, p[:-1].astype(np.int64)).astype(np.float32)
+# row sums via bincount over row ids (reduceat mis-handles empty rows:
+# it returns d[p[i]] instead of 0 when p[i] == p[i+1])
+row_ids = np.repeat(np.arange(A.shape[0]), np.diff(p))
+b = np.bincount(row_ids, weights=d, minlength=A.shape[0]).astype(np.float32)
 A0 = hier.levels[0].A
 
 

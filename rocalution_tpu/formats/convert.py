@@ -145,16 +145,19 @@ def to_csr(mat) -> CSR:
     raise TypeError(f"cannot convert {type(mat).__name__} to CSR")
 
 
-def cast_values(mat, dtype):
+def cast_values(mat, dtype, device: bool = True):
     """Cast a format's value arrays to `dtype`, host-side when caches exist
     (setup-phase: each eager device cast costs a remote compile on this
-    platform)."""
+    platform). ``device=False`` keeps the result host-resident (see
+    CSR.from_arrays) — for hierarchy levels that will be served through an
+    attached WJD fast-apply rather than their own CSR arrays."""
     import jax
     import jax.numpy as jnp
 
     if isinstance(mat, CSR) and getattr(mat, "_host_cache", None):
         d, i, p = mat.numpy_triplet()
-        return CSR.from_arrays(d.astype(dtype), i, p, mat.shape)
+        return CSR.from_arrays(d.astype(dtype), i, p, mat.shape,
+                               device=device)
     if isinstance(mat, DIA):
         from .base import set_host_cache
 

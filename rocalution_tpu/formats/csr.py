@@ -34,27 +34,43 @@ class CSR(MatrixBase):
         return int(self.data.shape[0])
 
     @staticmethod
-    def from_arrays(data, indices, indptr, shape) -> "CSR":
-        """Build from classic CSR triplet; computes row_ids once (host or traced)."""
+    def from_arrays(data, indices, indptr, shape, device: bool = True) -> "CSR":
+        """Build from classic CSR triplet; computes row_ids once (host or
+        traced). ``device=False`` keeps the leaves as HOST numpy arrays —
+        for setup-phase intermediates (AMG level operators before
+        convert_hierarchy) whose device upload would be pure waste on a
+        slow-transfer platform; jit closures embed either kind the same
+        way, and any eager op auto-converts."""
         nnz = int(np.asarray(data.shape)[0]) if hasattr(data, "shape") else len(data)
         nrow = int(shape[0])
         host_side = isinstance(indptr, np.ndarray) or not hasattr(indptr, "aval")
         if host_side:
             ip = np.asarray(indptr, dtype=np.int64)
             row_ids_np = np.repeat(np.arange(nrow, dtype=np.int32), np.diff(ip))
-            row_ids = jnp.asarray(row_ids_np)
+            put = (jnp.asarray if device else np.asarray)
+            row_ids = put(row_ids_np)
         else:
+            put = jnp.asarray
             counts = jnp.diff(indptr)
             row_ids = jnp.repeat(
                 jnp.arange(nrow, dtype=jnp.int32), counts, total_repeat_length=nnz
             )
-        out = CSR(
-            data=jnp.asarray(data),
-            indices=jnp.asarray(indices, dtype=jnp.int32),
-            indptr=jnp.asarray(indptr, dtype=jnp.int32),
-            row_ids=row_ids,
-            shape=(int(shape[0]), int(shape[1])),
-        )
+        if host_side:
+            out = CSR(
+                data=put(data),
+                indices=put(np.asarray(indices, dtype=np.int32)),
+                indptr=put(np.asarray(indptr, dtype=np.int32)),
+                row_ids=row_ids,
+                shape=(int(shape[0]), int(shape[1])),
+            )
+        else:
+            out = CSR(
+                data=jnp.asarray(data),
+                indices=jnp.asarray(indices, dtype=jnp.int32),
+                indptr=jnp.asarray(indptr, dtype=jnp.int32),
+                row_ids=row_ids,
+                shape=(int(shape[0]), int(shape[1])),
+            )
         if host_side:
             set_host_cache(
                 out,

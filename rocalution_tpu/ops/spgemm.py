@@ -104,3 +104,24 @@ def spgemm_plan(A: CSR, B: CSR):
         return jax.ops.segment_sum(prod, cpos_j, num_segments=nnz_c)
 
     return C, numeric
+
+
+def triple_product_plan(R: CSR, A: CSR, P: CSR):
+    """Symbolic-once / numeric-on-device Galerkin: returns
+    (pattern CSR of R·A·P, update fn).
+
+    The symbolic pass (two host SpGEMM patterns, R and P frozen) runs once;
+    `update(a_data)` then recomputes the coarse values entirely on device —
+    the analog of the reference's ReBuildNumeric path reusing the csrgemm
+    info structure (LocalMatrix::TripleMatrixProduct + ReBuildNumeric,
+    local_matrix.cpp; hip csrgemm numeric stage, hip_matrix_csr.cpp)."""
+    B, num_ap = spgemm_plan(A, P)
+    C, num_rb = spgemm_plan(R, B)
+    r_data = R.data
+    p_data = P.data
+
+    def update(a_data):
+        b_data = num_ap(a_data, p_data)
+        return num_rb(r_data, b_data)
+
+    return C, update

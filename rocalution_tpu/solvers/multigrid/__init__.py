@@ -11,8 +11,8 @@ from typing import Callable, Optional
 
 from .aggregation import pairwise_level, sa_level, ua_level
 from .base import (Hierarchy, MGLevel, build_hierarchy, convert_hierarchy,
-                   cycle_closure, jacobi_smoother, mg_solve,
-                   precond_smoother, rebuild_hierarchy_numeric)
+                   cycle_closure, jacobi_smoother, make_galerkin_plans,
+                   mg_solve, precond_smoother, rebuild_hierarchy_numeric)
 from .rs import rs_level
 
 _LEVEL_BUILDERS = {
@@ -109,7 +109,8 @@ def amg_precond(A_or_hierarchy, kind: str = "sa", **kwargs) -> Callable:
 __all__ = [
     "Hierarchy", "MGLevel", "amg_hierarchy", "amg_precond",
     "build_hierarchy", "convert_hierarchy", "cycle_closure",
-    "jacobi_smoother", "mg_solve",
-    "pairwise_amg", "pairwise_level", "precond_smoother", "rs_level",
+    "jacobi_smoother", "make_galerkin_plans", "mg_solve",
+    "pairwise_amg", "pairwise_level", "precond_smoother",
+    "rebuild_hierarchy_numeric", "rs_level",
     "rsamg", "sa_level", "saamg", "ua_level", "uaamg",
 ]

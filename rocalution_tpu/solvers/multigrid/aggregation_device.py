@@ -144,4 +144,7 @@ def pmis_aggregate_jit(C, seed: int = 0) -> np.ndarray:
     Cs = C.tocsr()
     Cs.sort_indices()
     agg = pmis_aggregate_device(Cs.indptr, Cs.indices, n, w)
-    return np.asarray(agg).astype(np.int64)
+    from .aggregation import _relabel_by_first_row
+
+    # row-order coarse numbering keeps P/R/Ac banded (see aggregation.py)
+    return _relabel_by_first_row(np.asarray(agg).astype(np.int64))

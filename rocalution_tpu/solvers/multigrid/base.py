@@ -132,8 +132,28 @@ def build_hierarchy(
             smooth=None if last else mk_smooth(A),
         ))
     if coarse_solve is None:
-        coarse_solve = default_coarse_solve(ops[-1])
+        coarse_solve = _DeferredCoarse(ops[-1])
     return Hierarchy(levels, coarse_solve, pre_sweeps, post_sweeps, cycle)
+
+
+class _DeferredCoarse:
+    """Coarse-solve closure whose factorization runs on FIRST USE, not at
+    hierarchy assembly: an f64 setup hierarchy that is immediately
+    `convert_hierarchy`-ed to f32 would otherwise pay a dense QR (device
+    compile + factor — seconds on a relay tunnel) that nothing ever calls.
+    `cycle_closure` resolves it at closure-build time (untraced)."""
+
+    def __init__(self, A):
+        self._A = A
+        self._fn = None
+
+    def resolve(self) -> Callable:
+        if self._fn is None:
+            self._fn = default_coarse_solve(self._A)
+        return self._fn
+
+    def __call__(self, b):
+        return self.resolve()(b)
 
 
 # dense coarse factorization above this size would allocate O(n^2) — a
@@ -157,36 +177,72 @@ def default_coarse_solve(A) -> Callable:
     from ..krylov.cg import cg
 
     inv_d = inverse_diagonal(A)
+    # tolerance scaled to the operator dtype: 1e-10 is unreachable in f32
+    # and would burn the full iteration budget every cycle application.
+    # NOTE a truncated inner Krylov makes the cycle a VARIABLE
+    # preconditioner — pair with FCG/FGMRES as the outer solver when this
+    # path triggers (plain CG only tolerates it by luck).
+    import numpy as _np
+
+    rel_tol = 1e-10 if _np.dtype(A.dtype) == _np.float64 else 1e-6
 
     def solve(b):
-        x, _ = cg(A, b, M=lambda r: inv_d * r, rel_tol=1e-10, max_iter=200)
+        x, _ = cg(A, b, M=lambda r: inv_d * r, rel_tol=rel_tol,
+                  max_iter=200)
         return x
 
     return solve
 
 
-def rebuild_hierarchy_numeric(h: Hierarchy, A_new) -> Hierarchy:
+def rebuild_hierarchy_numeric(h: Hierarchy, A_new, *,
+                              plans=None) -> Hierarchy:
     """ReBuildNumeric analog (reference: Solver::ReBuildNumeric,
     solver.hpp — refresh the hierarchy for NEW VALUES on the same
     nonzero structure): transfers P/R are kept frozen and every level
     operator is recomputed as the Galerkin product R·A·P (the standard
     numeric-rebuild policy), smoothers and the coarse solve rebuilt
     against the refreshed operators. Setup cost = triple products only —
-    no strength graphs, no aggregation."""
+    no strength graphs, no aggregation.
+
+    `plans` (from `make_galerkin_plans(h)`): frozen symbolic patterns per
+    level — the numeric Galerkin then runs ON DEVICE (gather + segment_sum
+    over precomputed triple lists, ops/spgemm.triple_product_plan), the
+    analog of the reference reusing its csrgemm info on rebuild."""
     from ...formats import to_csr
-    from ...ops.spgemm import triple_product
 
     levels = []
     A = to_csr(A_new)
-    for lv in h.levels:
+    for li, lv in enumerate(h.levels):
         if lv.P is None:
             levels.append(MGLevel(A=A, P=None, R=None, smooth=None))
             break
         levels.append(MGLevel(A=A, P=lv.P, R=lv.R,
                               smooth=jacobi_smoother(A)))
-        A = triple_product(to_csr(lv.R), A, to_csr(lv.P))
-    return Hierarchy(levels, default_coarse_solve(levels[-1].A), h.pre_sweeps,
+        if plans is not None:
+            pat, update = plans[li]
+            A = dataclasses.replace(pat, data=update(A.data))
+        else:
+            from ...ops.spgemm import triple_product
+
+            A = triple_product(to_csr(lv.R), A, to_csr(lv.P))
+    return Hierarchy(levels, _DeferredCoarse(levels[-1].A), h.pre_sweeps,
                      h.post_sweeps, h.cycle, h.scaling, h.host_levels)
+
+
+def make_galerkin_plans(h: Hierarchy):
+    """One frozen-symbolic Galerkin plan per non-coarsest level (see
+    `rebuild_hierarchy_numeric`): the host symbolic pass runs once here;
+    every later numeric rebuild is device-only."""
+    from ...formats import to_csr
+    from ...ops.spgemm import triple_product_plan
+
+    plans = []
+    for lv in h.levels:
+        if lv.P is None:
+            break
+        plans.append(triple_product_plan(to_csr(lv.R), to_csr(lv.A),
+                                         to_csr(lv.P)))
+    return plans
 
 
 def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
@@ -207,11 +263,17 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
             return M
         from ...formats.convert import cast_values
 
-        return cast_values(M, dtype)
+        # host-resident result: levels are served through WJD/DIA applies
+        # (or embedded as jit constants) — eager device CSR arrays here
+        # would be upload-only waste
+        return cast_values(M, dtype, device=False)
 
     new_levels = []
     for lv in h.levels:
-        A = lv.A
+        # cast FIRST so a format conversion only ever materializes the
+        # final dtype (casting after a DIA convert would upload the f64
+        # band data just to throw it away — seconds on a relay tunnel)
+        A = cast(lv.A)
         if fmt in ("auto", "DIA") and not isinstance(A, DIA) and hasattr(
                 A, "numpy_triplet"):
             idx = get_host(A, "indices").astype(np.int64)
@@ -219,14 +281,13 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
             ndiag = len(np.unique(idx - rows))
             if fmt == "DIA" or ndiag <= max_diags:
                 A = convert(A, "DIA")
-        A = cast(A)
         new_levels.append(MGLevel(
             A=A, P=cast(lv.P), R=cast(lv.R),
             smooth=None if lv.smooth is None else jacobi_smoother(A),
         ))
     coarse = h.coarse_solve
     if dtype is not None:
-        coarse = default_coarse_solve(new_levels[-1].A)
+        coarse = _DeferredCoarse(new_levels[-1].A)
     return Hierarchy(new_levels, coarse, h.pre_sweeps,
                      h.post_sweeps, h.cycle, h.scaling, h.host_levels)
 
@@ -240,18 +301,26 @@ def _energy_factor(w, t, At):
 
 
 def _attach_fast_applies(h: Hierarchy) -> None:
-    """Give every level operator its WJD fast apply NOW — cycle closures
-    are built at setup but their spmvs first run inside a traced solver
-    body, where attachment is forbidden (tracer-leak guard, ops/spmv.py).
-    Without this, smoother applies on CSR levels silently ride the
-    collapsed XLA gather path on TPU. Transfers (P/R) are left on the XLA
-    path: their highly rectangular column maps blow the slot cap (K=128
-    with ~1 MB of SMEM-prefetched brow — over the per-kernel SMEM budget,
-    seen at 2M unknowns)."""
+    """Give every level operator AND its transfers their WJD fast applies
+    NOW — cycle closures are built at setup but their spmvs first run
+    inside a traced solver body, where attachment is forbidden
+    (tracer-leak guard, ops/spmv.py). Without this, CSR applies silently
+    ride the collapsed XLA gather path on TPU.
+
+    Transfers (P/R) are servable since the coarse numbering follows
+    fine-row order (aggregation._relabel_by_first_row): their slot plans
+    are small (measured K=27-98 at 110k rows) — `maybe_attach_wjd` still
+    rejects any plan that exceeds the kernel's SMEM budget, which is the
+    correct per-operator gate (previously transfers were rejected
+    wholesale: r3 weakness 5, ~330 ms/V-cycle at 2.1M on XLA gathers)."""
     from ...ops.spmv import maybe_attach_wjd
 
     for lv in h.levels:
         maybe_attach_wjd(lv.A)
+        if lv.P is not None:
+            maybe_attach_wjd(lv.P)
+        if lv.R is not None:
+            maybe_attach_wjd(lv.R)
 
 
 def cycle_closure(h: Hierarchy) -> Callable:
@@ -269,6 +338,11 @@ def cycle_closure(h: Hierarchy) -> Callable:
     L = h.num_levels
     boundary = max(0, L - h.host_levels) if h.host_levels > 0 else None
     host_entry = _host_subtree(h, boundary) if boundary is not None else None
+    # resolve a deferred coarse factorization NOW (untraced): under trace
+    # the QR would be baked into the program and re-run every application
+    coarse = (h.coarse_solve.resolve()
+              if isinstance(h.coarse_solve, _DeferredCoarse)
+              else h.coarse_solve)
 
     def level_apply(l: int, b, mode: str):
         lv = h.levels[l]
@@ -281,7 +355,7 @@ def cycle_closure(h: Hierarchy) -> Callable:
                 vmap_method="sequential",
             )
         if lv.P is None:
-            return h.coarse_solve(b)
+            return coarse(b)
         x = lv.smooth(b, jnp.zeros_like(b), h.pre_sweeps)
         if h.scaling and 0 < l < L - 2 and h.pre_sweeps > 0:
             x = x * _energy_factor(b, x, spmv(lv.A, x))
