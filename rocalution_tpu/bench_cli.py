@@ -11,11 +11,20 @@ Usage:
   python -m rocalution_tpu.bench_cli --solver cg --precond jacobi \
       --format DIA --matrix laplacian2d --size 256 --tol 1e-8
 Prints one JSON object with timings and solve quality.
+
+Sweep mode (the `rocalution_bench_cmdlines` expander,
+clients/benchmarks/rocalution_bench_cmdlines.hpp:100): `--solver`,
+`--precond`, `--format` and `--size` accept comma-separated lists; every
+combination of the cartesian product runs as its own case, one JSON line
+each, with a final `{"sweep_summary": ...}` line. `--out FILE` appends the
+JSONL to a file for `scripts/bench_regression.py` /
+`scripts/bench_plot.py`.
 """
 
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import sys
 import time
@@ -70,21 +79,66 @@ def build_precond(name, A, rt):
     return table[name](A)
 
 
+def _csv(choices):
+    """Argparse type: comma-separated subset of `choices` (sweep lists)."""
+    def parse(s):
+        vals = [v for v in s.split(",") if v]
+        for v in vals:
+            if v not in choices:
+                raise argparse.ArgumentTypeError(
+                    f"{v!r} not in {sorted(choices)}")
+        return vals
+    return parse
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rocalution_tpu.bench_cli")
-    p.add_argument("--solver", choices=SOLVERS, default="cg")
-    p.add_argument("--precond", choices=PRECONDS, default="none")
-    p.add_argument("--format", dest="fmt", choices=FORMATS, default="CSR")
+    p.add_argument("--solver", type=_csv(SOLVERS), default=["cg"])
+    p.add_argument("--precond", type=_csv(PRECONDS), default=["none"])
+    p.add_argument("--format", dest="fmt", type=_csv(FORMATS),
+                   default=["CSR"])
     p.add_argument("--matrix", choices=MATRICES, default="laplacian2d")
     p.add_argument("--file", default=None, help="MTX path for --matrix file")
-    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--size", type=lambda s: [int(v) for v in s.split(",")],
+                   default=[64])
     p.add_argument("--dtype", default="float64")
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--abs-tol", type=float, default=1e-15)
     p.add_argument("--max-iter", type=int, default=10000)
+    p.add_argument("--out", default=None,
+                   help="append result JSONL to this file")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
+    # cartesian sweep (rocalution_bench_cmdlines.hpp:100 expander): one
+    # case per (solver, precond, format, size) combination
+    combos = list(itertools.product(args.solver, args.precond, args.fmt,
+                                    args.size))
+    results, fails = [], 0
+    for sol, pre, fmt, size in combos:
+        case = argparse.Namespace(**vars(args))
+        case.solver, case.precond, case.fmt, case.size = sol, pre, fmt, size
+        try:
+            res = run_case(case)
+        except Exception as e:  # one bad combo must not kill the sweep
+            res = {"solver": sol, "precond": pre, "format": fmt,
+                   "size": size, "convergence": False,
+                   "error": f"{type(e).__name__}: {e}"}
+        results.append(res)
+        print(json.dumps(res), flush=True)
+        fails += 0 if res.get("convergence") else 1
+    if args.out:
+        with open(args.out, "a") as f:
+            for res in results:
+                f.write(json.dumps(res) + "\n")
+    if len(combos) > 1:
+        print(json.dumps({"sweep_summary": {
+            "cases": len(combos), "converged": len(combos) - fails,
+            "failed": fails}}))
+    return 0 if fails == 0 else 1
+
+
+def run_case(args):
     import jax
     import numpy as np
 
@@ -152,8 +206,7 @@ def main(argv=None):
         "time_global_s": round(t_import + t_analyze + t_solve, 4),
         "nrmmax_err": float(np.max(np.abs(x - 1.0))),
     }
-    print(json.dumps(res))
-    return 0 if res["convergence"] else 1
+    return res
 
 
 if __name__ == "__main__":

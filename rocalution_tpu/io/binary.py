@@ -101,6 +101,7 @@ def write_global_csr(prefix: str, Ag) -> None:
         "shape": [int(Ag.shape[0]), int(Ag.shape[1])],
         "shifts": [int(s) for s in Ag.shifts],
         "mode": Ag.mode,
+        "int_nnz": [int(k) for k in Ag.int_nnz],
     }
     with open(f"{prefix}.pm.json", "w") as f:
         json.dump(meta, f)
@@ -155,4 +156,5 @@ def read_global_csr(prefix: str):
         n_global_col=int(meta["n_global_col"]),
         shifts=tuple(meta["shifts"]),
         mode=str(meta["mode"]),
+        int_nnz=tuple(meta.get("int_nnz", ())),
     )

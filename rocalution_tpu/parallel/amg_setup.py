@@ -149,7 +149,24 @@ def dist_sa_level(mats: Sequence, offs: np.ndarray, *, eps: float = 0.08,
         P_p.eliminate_zeros()
         P_mats.append(P_p)
 
+    R_mats, Ac_mats = _dist_galerkin(mats, offs, P_mats, coffs)
+    return P_mats, R_mats, Ac_mats, coffs
+
+
+def _dist_galerkin(mats, offs, P_mats, coffs):
+    """Distributed Galerkin product + transpose exchange shared by every
+    distributed coarsening (SA/RS): AP with fetched ghost P rows, R = Pᵀ
+    via bucketing each P entry to its coarse-row owner, Ac = R·AP
+    (reference: boundary-row CSR exchange + triple product,
+    global_matrix.cpp:4041-4311)."""
+    import scipy.sparse as sp
+
+    Pn = len(mats)
+    N = int(offs[-1])
+    NC = int(coffs[-1])
+
     # AP_p = A_p · P (ghost rows of P fetched from their owners)
+    AP_mats = []
     for p in range(Pn):
         m = mats[p]
         Pfull = _fetch_rows(P_mats, offs, np.unique(m.tocoo().col), NC)
@@ -179,6 +196,67 @@ def dist_sa_level(mats: Sequence, offs: np.ndarray, *, eps: float = 0.08,
         R_mats.append(R_q)
         APfull = _fetch_rows(AP_mats, offs, np.unique(rc), NC)
         Ac_mats.append((R_q @ APfull).tocsr())
+    return R_mats, Ac_mats
+
+
+def dist_rs_level(mats: Sequence, offs: np.ndarray, *, theta: float = 0.25,
+                  coarsening: str = "pmis", interpolation: str = "direct",
+                  ff1_limit: bool = False, seed: int = 0):
+    """One distributed Ruge-Stüben coarsening step.
+
+    Decoupled C/F splitting: each part runs classical strength + PMIS (or
+    greedy) + direct/ExtPI interpolation on its DIAGONAL block — the
+    subdomain-blocking variant of the reference's global RS build
+    (global_matrix.cpp:1444-1495 RSCoarsening/RSDirectInterpolation at
+    global scope; decoupled boundary treatment is the standard MPI-cheap
+    choice). Cross-boundary coupling still enters the coarse operator
+    through the full Galerkin product (exchanged AP/R rows), so Ac is the
+    true R·A·P of the global fine operator.
+
+    Returns (P_mats, R_mats, Ac_mats, coffs) like `dist_sa_level`.
+    """
+    import scipy.sparse as sp
+
+    from ..solvers.multigrid.rs import (classical_strength,
+                                        direct_interpolation,
+                                        extpi_interpolation,
+                                        greedy_coarsening, pmis_coarsening)
+
+    Pn = len(mats)
+
+    P_locs, ncs = [], []
+    for p in range(Pn):
+        local = mats[p][:, offs[p]:offs[p + 1]].tocsr()
+        nl_p = local.shape[0]
+        Sg = classical_strength(local, theta)
+        if coarsening == "greedy":
+            cfmap = greedy_coarsening(
+                Sg, second_pass=(interpolation == "direct"))
+        else:
+            cfmap = pmis_coarsening(Sg, seed + p)
+        if not cfmap.any():
+            cfmap = np.ones(nl_p, bool)     # degenerate tiny part: all C
+        if cfmap.all():
+            P_loc = sp.identity(nl_p, format="csr",
+                                dtype=local.dtype)
+        elif interpolation == "extpi":
+            P_loc = extpi_interpolation(local, Sg, cfmap, ff1=ff1_limit)
+        else:
+            P_loc = direct_interpolation(local, Sg, cfmap)
+        P_locs.append(P_loc.tocsr())
+        ncs.append(P_loc.shape[1])
+    coffs = np.concatenate([[0], np.cumsum(ncs)]).astype(np.int64)
+    NC = int(coffs[-1])
+
+    # embed each local prolongation into the global coarse column space
+    P_mats = []
+    for p in range(Pn):
+        coo = P_locs[p].tocoo()
+        P_mats.append(sp.csr_matrix(
+            (coo.data, (coo.row, coo.col + coffs[p])),
+            shape=(P_locs[p].shape[0], NC)))
+
+    R_mats, Ac_mats = _dist_galerkin(mats, offs, P_mats, coffs)
     return P_mats, R_mats, Ac_mats, coffs
 
 
@@ -234,12 +312,21 @@ def _reblock(mats_uneven, row_offs, ncols: int, nparts: int):
     return out, eq_offs
 
 
-def distributed_amg_setup(blocks, shape, *, coarse_size: int = 300,
+def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
+                          coarse_size: int = 300,
                           max_levels: int = 10, eps: float = 0.08,
                           omega: float = 2.0 / 3.0, strategy: str = "auto",
+                          theta: float = 0.25,
+                          interpolation: str = "direct",
                           seed: int = 0, wjd: Optional[bool] = None
                           ) -> DistLevels:
-    """Build a distributed SA-AMG hierarchy from per-part row blocks.
+    """Build a distributed AMG hierarchy from per-part row blocks.
+
+    `kind`: "sa" (smoothed aggregation, `dist_sa_level`) or "rs"
+    (Ruge-Stüben, `dist_rs_level` — decoupled C/F + direct/ExtPI
+    interpolation; `theta`/`interpolation` apply). The reference builds
+    every AMG type at global scope the same way
+    (global_matrix.cpp:4041-4311).
 
     `blocks[p]` = (local_rows, global_cols, values) for part p's rows —
     the same block format `global_csr_from_blocks` takes, producible
@@ -264,9 +351,16 @@ def distributed_amg_setup(blocks, shape, *, coarse_size: int = 300,
     while len(As) < max_levels - 1 and int(level_offs[-1]) > coarse_size:
         Ag = global_csr_from_blocks(
             _blocks_of(level_mats), (int(level_offs[-1]),) * 2, wjd=wjd)
-        P_m, R_m, Ac_m, coffs = dist_sa_level(
-            level_mats, level_offs, eps=eps, omega=omega,
-            strategy=strategy, seed=seed + len(As))
+        if kind == "rs":
+            P_m, R_m, Ac_m, coffs = dist_rs_level(
+                level_mats, level_offs, theta=theta,
+                interpolation=interpolation, seed=seed + len(As))
+        else:
+            # eps halves per level like the serial builder (smoothed_amg
+            # .cpp:263-267) — a fixed eps stalls aggregation at depth
+            P_m, R_m, Ac_m, coffs = dist_sa_level(
+                level_mats, level_offs, eps=eps * 0.5 ** len(As),
+                omega=omega, strategy=strategy, seed=seed + len(As))
         NC = int(coffs[-1])
         if NC >= int(level_offs[-1]):      # coarsening stalled
             break

@@ -65,6 +65,11 @@ class GlobalCSR:
     # partition couples many parts)
     shifts: Tuple[int, ...] = static_field(default=())
     mode: str = static_field(default="allgather")
+    # per-part valid interior-entry counts (entries beyond are padding):
+    # lets consumers recover each block's exact sparsity pattern including
+    # genuinely stored zeros (advisor r3: a data != 0 mask silently drops
+    # them). () = unknown, fall back to the data mask.
+    int_nnz: Tuple[int, ...] = static_field(default=())
 
     @property
     def dtype(self):
@@ -282,6 +287,7 @@ def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
         mode="ppermute" if use_pp else "allgather",
         n_local_col=ncl,
         n_global_col=ncol,
+        int_nnz=tuple(len(d) for d in int_d),
     )
 
 

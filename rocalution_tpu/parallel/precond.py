@@ -77,17 +77,24 @@ def _jacobi_sweeps(rows, cols, data, invd, b, sweeps):
 
 def _local_blocks(A: GlobalCSR):
     """Per-part diagonal-block CSRs recovered from the stacked interior
-    arrays (padded slots carry data == 0 and are dropped — harmless for
-    preconditioner construction)."""
+    arrays. Valid entries come from the per-part nnz counts recorded at
+    distribute time (A.int_nnz) so genuinely stored zeros — including an
+    exactly-zero diagonal — keep their place in the ILU0/SPAI pattern;
+    only when the counts are absent (legacy pickles) fall back to a
+    data != 0 mask."""
     data = np.asarray(A.int_data)
     rows = np.asarray(A.int_rows)
     cols = np.asarray(A.int_cols)
     nl = A.n_local
     out = []
     for p in range(A.nparts):
-        m = data[p] != 0
-        out.append(CSR.from_coo(rows[p][m], cols[p][m], data[p][m],
-                                (nl, nl)))
+        if A.int_nnz:
+            k = A.int_nnz[p]
+            rp, cp, dp = rows[p][:k], cols[p][:k], data[p][:k]
+        else:
+            m = data[p] != 0
+            rp, cp, dp = rows[p][m], cols[p][m], data[p][m]
+        out.append(CSR.from_coo(rp, cp, dp, (nl, nl)))
     return out
 
 
@@ -100,7 +107,9 @@ def _stack_coo(mats, nnz=None):
         trips.append((r, c, d))
     mx = max(1, max(len(t[0]) for t in trips)) if nnz is None else nnz
     P = len(trips)
-    dt = trips[0][2].dtype if len(trips[0][2]) else np.float64
+    # dtype from the first NON-EMPTY triplet: an empty first block must not
+    # upcast the whole stacked preconditioner to f64 (advisor r3)
+    dt = next((t[2].dtype for t in trips if len(t[2])), np.float64)
     R = np.zeros((P, mx), np.int32)
     C = np.zeros((P, mx), np.int32)
     D = np.zeros((P, mx), dt)

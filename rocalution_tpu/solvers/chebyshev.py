@@ -34,7 +34,7 @@ def chebyshev(A, b, x0=None, M=None, *, lambda_min, lambda_max,
     sigma1 = theta / delta
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
     z = precond(r)
     d = z / theta
     x = x + d
@@ -46,7 +46,7 @@ def chebyshev(A, b, x0=None, M=None, *, lambda_min, lambda_max,
     def body(carry):
         x, r, d, rho, state = carry
         r = r - op(d)
-        state = ctrl.check_residual(state, jnp.abs(red.norm(r)))
+        state = ctrl.check_residual(state, jnp.abs(red.res_norm(r)))
         z = precond(r)
         rho_new = 1.0 / (2.0 * sigma1 - rho)
         d = rho_new * rho * d + (2.0 * rho_new / delta) * z

@@ -28,7 +28,7 @@ def fixed_point(A, b, x0=None, M=None, *, omega: float = 1.0,
     om = jnp.asarray(omega, b.dtype)
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
 
     def cond(carry):
         return carry[-1].running
@@ -37,7 +37,7 @@ def fixed_point(A, b, x0=None, M=None, *, omega: float = 1.0,
         x, r, state = carry
         x = x + om * precond(r)
         r = b - op(x)
-        state = ctrl.check_residual(state, jnp.abs(red.norm(r)))
+        state = ctrl.check_residual(state, jnp.abs(red.res_norm(r)))
         return (x, r, state)
 
     x, r, state = jax.lax.while_loop(cond, body, (x, r, state))

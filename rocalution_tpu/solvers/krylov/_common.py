@@ -21,20 +21,33 @@ from ..iter_ctrl import IterationControl
 
 
 class ReductionOps(NamedTuple):
-    """Inner products/norms, optionally mesh-global."""
+    """Inner products/norms, optionally mesh-global. `res_norm` is the
+    CONVERGENCE-CHECK norm selected by the user (L1/L2/L∞ — the analog of
+    IterativeLinearSolver::SetResidualNorm + Norm_, solver.hpp:386,
+    solver.cpp:433-469); algorithmic norms (Arnoldi, Givens recurrences)
+    always use `norm` (L2), exactly as the reference does."""
 
     dot: Callable
     dot_nonconj: Callable
     norm: Callable
     sum: Callable
     allreduce: Callable  # identity locally; psum over the mesh axis globally
+    res_norm: Callable = blas1.norm
 
 
-def make_reductions(axis_name: Optional[str]) -> ReductionOps:
+def make_reductions(axis_name: Optional[str],
+                    res_norm_type: int = 2) -> ReductionOps:
+    if res_norm_type not in (1, 2, 3):
+        raise ValueError(
+            f"res_norm must be 1 (L1), 2 (L2) or 3 (L-infinity), got "
+            f"{res_norm_type!r}")
     if axis_name is None:
+        local = {1: blas1.asum, 2: blas1.norm,
+                 3: lambda x: jnp.max(jnp.abs(x))}   # blas1.amax returns
+                                                     # (index, value)
         return ReductionOps(
             blas1.dot, blas1.dot_nonconj, blas1.norm, blas1.reduce_sum,
-            lambda v: v,
+            lambda v: v, local[res_norm_type],
         )
 
     def pdot(x, y):
@@ -52,7 +65,14 @@ def make_reductions(axis_name: Optional[str]) -> ReductionOps:
     def allreduce(v):
         return jax.lax.psum(v, axis_name)
 
-    return ReductionOps(pdot, pdot_nc, pnorm, psum, allreduce)
+    def pasum(x):
+        return jax.lax.psum(jnp.sum(jnp.abs(x)), axis_name)
+
+    def pamax(x):
+        return jax.lax.pmax(jnp.max(jnp.abs(x)), axis_name)
+
+    pres = {1: pasum, 2: pnorm, 3: pamax}[res_norm_type]
+    return ReductionOps(pdot, pdot_nc, pnorm, psum, allreduce, pres)
 
 
 def select_tree(pred, on_true, on_false):
@@ -88,6 +108,9 @@ def prepare(A, b, x0, M, ctrl: Optional[IterationControl], kwargs) -> Tuple:
     from ...utils.log import log_debug
 
     axis_name = kwargs.pop("axis_name", None)
+    # SetResidualNorm analog: 1=L1, 2=L2 (default), 3=L-infinity — applies
+    # to convergence checks only (solver.cpp:433-469)
+    res_norm_type = int(kwargs.pop("res_norm", 2))
     log_debug(A, "solve", getattr(b, "shape", None), axis_name, kwargs)
     op = as_operator(A)
     b = jnp.asarray(b)
@@ -97,7 +120,7 @@ def prepare(A, b, x0, M, ctrl: Optional[IterationControl], kwargs) -> Tuple:
         ctrl = IterationControl(**kwargs)
     elif kwargs:
         raise ValueError("pass either ctrl= or tolerance kwargs, not both")
-    red = make_reductions(axis_name)
+    red = make_reductions(axis_name, res_norm_type)
     return op, b, x, precond, ctrl, red
 
 

@@ -28,7 +28,7 @@ def bicgstab(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
     op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
     r0 = r                      # shadow residual
     p = jnp.zeros_like(r)
     v = jnp.zeros_like(r)
@@ -48,7 +48,7 @@ def bicgstab(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
         alpha = safe_div(rho_new, red.dot_nonconj(r0, v))
         s = r - alpha * v
         # half-step check (reference: bicgstab.cpp checks ||s|| mid-iteration)
-        state_half = ctrl.check_residual(state, jnp.abs(red.norm(s)))
+        state_half = ctrl.check_residual(state, jnp.abs(red.res_norm(s)))
         x_half = x + alpha * phat
 
         shat = precond(s)
@@ -56,7 +56,7 @@ def bicgstab(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
         omega_new = safe_div(red.dot_nonconj(t, s), red.dot_nonconj(t, t))
         x_full = x_half + omega_new * shat
         r_full = s - omega_new * t
-        state_full = ctrl.check_residual(state, jnp.abs(red.norm(r_full)))
+        state_full = ctrl.check_residual(state, jnp.abs(red.res_norm(r_full)))
 
         go_full = state_half.running
         x = jnp.where(go_full, x_full, x_half)

@@ -38,7 +38,7 @@ def bicgstabl(A, b, x0=None, M=None, *,
         return op(precond(v))
 
     r0 = b - op(x0v)
-    state = ctrl.init_residual(jnp.abs(red.norm(r0)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r0)))
     rhat = r0  # shadow residual
     n = b.shape[0]
 
@@ -71,7 +71,7 @@ def bicgstabl(A, b, x0=None, M=None, *,
                 R = R.at[i].set(jnp.where(live, R[i] - alpha * U[i + 1], R[i]))
             R = R.at[j + 1].set(jnp.where(live, K(R[j]), R[j + 1]))
             z = jnp.where(live, z + alpha * U[0], z)
-            state = guarded_check(ctrl, state, jnp.abs(red.norm(R[0])))
+            state = guarded_check(ctrl, state, jnp.abs(red.res_norm(R[0])))
 
         # --- MR part: minimize ||R[0]|| over span{R[1..l]} (MGS) ---
         live = state.running
@@ -107,7 +107,7 @@ def bicgstabl(A, b, x0=None, M=None, *,
             U = U.at[0].set(jnp.where(live, U[0] - gamma[j] * U[j], U[0]))
             z = jnp.where(live, z + gamma_pp[j] * R[j], z)
             R = R.at[0].set(jnp.where(live, R[0] - gamma_p[j] * R[j], R[0]))
-        state = guarded_check(ctrl, state, jnp.abs(red.norm(R[0])))
+        state = guarded_check(ctrl, state, jnp.abs(red.res_norm(R[0])))
         return (z, R, U, rho0, alpha, omega, state)
 
     carry = (z, R, U, rho0, alpha, omega, state)

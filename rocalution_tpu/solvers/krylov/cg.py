@@ -33,8 +33,7 @@ def cg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
     op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
 
     r = b - op(x)
-    res_norm = red.norm(r)
-    state = ctrl.init_residual(jnp.abs(res_norm))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
 
     z = precond(r)
     p = z
@@ -49,7 +48,7 @@ def cg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
         alpha = rho / red.dot_nonconj(p, q)
         x = x + alpha * p
         r = r - alpha * q
-        state = ctrl.check_residual(state, jnp.abs(red.norm(r)))
+        state = ctrl.check_residual(state, jnp.abs(red.res_norm(r)))
         z = precond(r)
         rho_new = red.dot_nonconj(r, z)
         beta = rho_new / rho

