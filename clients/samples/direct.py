@@ -16,5 +16,6 @@ A = rt.laplacian_2d(12)          # 144x144, solved densely
 ones = np.ones(A.shape[0])
 b = np.asarray(rt.spmv(A, ones))
 for name, solver in (("lu", lu), ("qr", qr), ("inversion", inversion)):
-    x = solver(A, b)
-    print(f"{name:9s} err={np.linalg.norm(np.asarray(x)-1):.2e}")
+    x, info = solver(A, b)
+    print(f"{name:9s} err={np.linalg.norm(np.asarray(x)-1):.2e} "
+          f"status={int(info.status)}")

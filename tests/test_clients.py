@@ -68,6 +68,8 @@ def _all_samples():
 _NO_CONVERGENCE_CHECK = {
     "key", "simple_spmv", "power_method", "benchmark", "benchmark_dist",
     "async_transfer", "cmk", "global_io",
+    # weak-scaling demos report t/iter + efficiency, not a solve status
+    "laplace_2d_weak_scaling", "laplace_3d_weak_scaling",
 }
 
 
@@ -98,7 +100,7 @@ def test_sample_runs(sample):
         return
     import re
 
-    errs = re.findall(r"err=([0-9.e+-]+)", out.stdout)
+    errs = re.findall(r"err(?:or)?[=:]\s*([0-9.e+-]+)", out.stdout)
     converged = ("status=1" in out.stdout or "status=2" in out.stdout
                  or "converged" in out.stdout.lower()
                  or (errs and float(errs[-1]) < 1e-3))
