@@ -440,7 +440,10 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         max_brow = 0
 
     # padded x must cover the deepest window load: rows [brow, brow+load_rows)
-    need_rows = max_brow + _load_rows(nj)
+    # (roll kernel: one 16-row load at brow + (du>>7) with du>>7 <= 1 -> 17
+    # rows past brow; +8 margin keeps it sublane-aligned)
+    load_need = _load_rows(nj) + (8 if kernel_mode == "roll" else 0)
+    need_rows = max_brow + load_need
     xp_len = max(need_rows * 128, -(-(pad_lo + m) // 128) * 128)
     sr, sc, sv = spill
 
@@ -564,10 +567,13 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     Tp = -(-T // group) * group
     pad_lo = -(-max(w["pad_lo"] for w in ws) // 128) * 128
     nj = (1 << wl) // 128 + 1
-    # padded-x length must cover every part's deepest (shifted) window load
+    # padded-x length must cover every part's deepest (shifted) window
+    # load (+8 rows for the roll kernel's single 16-row load, see
+    # csr_to_wjd_plan)
+    load_need = _load_rows(nj) + (8 if kmode == "roll" else 0)
     xp_len = max(
         max((int(w["brow"].max()) + (pad_lo - w["pad_lo"]) // 128
-             + _load_rows(nj)) * 128 for w in ws),
+             + load_need) * 128 for w in ws),
         -(-(pad_lo + m) // 128) * 128,
     )
     nspill = max(w["spill_row"].shape[0] for w in ws)

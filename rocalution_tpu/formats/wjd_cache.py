@@ -28,7 +28,8 @@ from typing import Optional
 import numpy as np
 
 # bump when the plan layout / WJD field semantics change
-PLAN_VERSION = 1
+# (v2: roll-kernel 16-row loads need 8 more rows of x padding)
+PLAN_VERSION = 2
 
 _ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u",
                  "spill_row", "spill_col", "spill_val")

@@ -168,17 +168,19 @@ def _roll_fn(interpret):
 
 
 def _rolled_window(x_ref, base, du, lane, roll):
-    """Resolve a constant-offset slot's gather with ONE rotate per row
-    block: out[s, l] = x[base + (du>>7) + ((l + du&127) >= 128) + s,
-    (l + du) & 127]."""
+    """Resolve a constant-offset slot's gather with ONE rotate over a
+    single 16-row load: out[s, l] = x[base + (du>>7) +
+    ((l + du&127) >= 128) + s, (l + du) & 127]. The two row views needed
+    by the lane-boundary select are static sub-views of one rolled
+    buffer (measured +3.6% over separate 8-row loads + two rolls; the
+    remaining ~12.6 ns/slot is the VPU op floor of load+rotate+select+
+    fma — static shifts/addresses measured no faster, see BASELINE.md)."""
     q = du >> 7
     c0 = du & 127
-    W0 = x_ref[pl.ds(base + q, 8), :]
-    W1 = x_ref[pl.ds(base + q + 1, 8), :]
+    w = x_ref[pl.ds(base + q, 16), :]
     sh = (128 - c0) & 127
-    R0 = roll(W0, sh)
-    R1 = roll(W1, sh)
-    return jnp.where(lane < 128 - c0, R0, R1)
+    R = roll(w, sh)
+    return jnp.where(lane < 128 - c0, R[0:8], R[1:9])
 
 
 def _kernel_roll(brow_ref, diag_ref, x_ref, val_ref, y_ref, *,

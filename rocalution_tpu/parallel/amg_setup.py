@@ -387,6 +387,7 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
 
 def dist_amg_solve_sharded(solver: Callable, dl: DistLevels, b, *,
                            mesh=None, coarse_iters: int = 16,
+                           cycle: str = "V",
                            **solver_kwargs):
     """Distributed AMG-preconditioned solve over a DistLevels hierarchy
     (built by `distributed_amg_setup` — sharded setup, sharded solve; the
@@ -404,7 +405,8 @@ def dist_amg_solve_sharded(solver: Callable, dl: DistLevels, b, *,
 
     def shard_fn(dl, b_l):
         op = lambda x: shard_spmv(dl.As[0], x, AXIS)
-        M = dist_cycle_closure(dl, AXIS, coarse_iters=coarse_iters)
+        M = dist_cycle_closure(dl, AXIS, coarse_iters=coarse_iters,
+                               cycle=cycle)
         x, info = solver(op, b_l[0], None, M, axis_name=AXIS,
                          **solver_kwargs)
         return x[None], jax.tree.map(lambda v: jnp.asarray(v)[None], info)
@@ -420,12 +422,21 @@ def dist_amg_solve_sharded(solver: Callable, dl: DistLevels, b, *,
 
 def dist_cycle_closure(dl: DistLevels, axis_name: str, *,
                        omega: float = 2.0 / 3.0, pre: int = 1,
-                       post: int = 2, coarse_iters: int = 16) -> Callable:
-    """Per-shard V-cycle over a DistLevels hierarchy (call inside
-    shard_map). The coarsest solve is `coarse_iters` fixed CG+Jacobi steps
-    on the SHARDED coarse operator — replaces round 2's replicated dense
-    inverse (O(nc²) memory, parallel/amg.py) with O(nnz_c/P) per shard."""
+                       post: int = 2, coarse_iters: int = 16,
+                       cycle: str = "V") -> Callable:
+    """Per-shard multigrid cycle over a DistLevels hierarchy (call inside
+    shard_map). `cycle`: V | W | F | K — the same four the serial engine
+    runs, now at global scope like the reference (BaseMultiGrid
+    Vcycle_/Wcycle_/Fcycle_/Kcycle_, base_multigrid.cpp:720-981,
+    instantiated for GlobalMatrix). K uses two FCG steps on the coarse
+    system with mesh-global (psum) reductions. The coarsest solve is
+    `coarse_iters` fixed CG+Jacobi steps on the SHARDED coarse operator —
+    replaces round 2's replicated dense inverse (O(nc²) memory,
+    parallel/amg.py) with O(nnz_c/P) per shard."""
     nlev = len(dl.Ps)
+    cyc = cycle.upper()
+    if cyc not in ("V", "W", "F", "K"):
+        raise ValueError(f"unknown cycle {cycle!r}")
 
     def smooth(l, b, x, sweeps):
         invd = dl.inv_diags[l][0]
@@ -457,14 +468,62 @@ def dist_cycle_closure(dl: DistLevels, axis_name: str, *,
             0, coarse_iters, body, (jnp.zeros_like(b), b, z0, rho0))
         return x
 
-    def cycle(l, b):
+    def psum_dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis_name)
+
+    def fcg_steps(l, b, inner, steps=2):
+        """K-cycle: `steps` flexible-CG iterations on level l's system,
+        preconditioned by the deeper cycle (Notay; reference
+        SetKcycleFull) — the serial engine's Polak-Ribière form
+        (multigrid/base._fcg_steps) with mesh-global reductions."""
+        A = dl.As[l]
+        x = jnp.zeros_like(b)
+        r = b
+        p = None
+        r_prev = None
+        rho = None
+        for _ in range(steps):
+            z = inner(r)
+            if p is None:
+                p = z
+                rho = psum_dot(r, z)
+            else:
+                rho_new = psum_dot(r, z)
+                beta = jnp.where(rho == 0, 0.0,
+                                 (rho_new - psum_dot(z, r_prev))
+                                 / jnp.where(rho == 0, 1.0, rho))
+                p = z + beta * p
+                rho = rho_new
+            q = shard_spmv(A, p, axis_name)
+            den = psum_dot(p, q)
+            alpha = jnp.where(den == 0, 0.0,
+                              rho / jnp.where(den == 0, 1.0, den))
+            x = x + alpha * p
+            r_prev = r
+            r = r - alpha * q
+        return x
+
+    def level_apply(l, b, mode):
         if l == nlev:
             return coarse_solve(b)
         x = smooth(l, b, jnp.zeros_like(b), pre)
         res = b - shard_spmv(dl.As[l], x, axis_name)
         rc = shard_spmv(dl.Rs[l], res, axis_name)
-        e = cycle(l + 1, rc)
+        Ac = dl.As[l + 1]
+        if l + 1 == nlev or mode == "V":
+            e = level_apply(l + 1, rc, "V" if mode == "F" else mode)
+        elif mode == "W":
+            e = level_apply(l + 1, rc, "W")
+            e = e + level_apply(
+                l + 1, rc - shard_spmv(Ac, e, axis_name), "W")
+        elif mode == "F":
+            e = level_apply(l + 1, rc, "F")
+            e = e + level_apply(
+                l + 1, rc - shard_spmv(Ac, e, axis_name), "V")
+        else:  # K
+            e = fcg_steps(l + 1, rc,
+                          lambda r: level_apply(l + 1, r, "K"))
         x = x + shard_spmv(dl.Ps[l], e, axis_name)
         return smooth(l, b, x, post)
 
-    return lambda r: cycle(0, r)
+    return lambda r: level_apply(0, r, cyc)

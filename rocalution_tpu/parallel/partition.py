@@ -140,6 +140,20 @@ def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
     part_r = [np.asarray(b[0], dtype=np.int64) for b in blocks]
     part_c = [np.asarray(b[1], dtype=np.int64) for b in blocks]
     part_d = [np.asarray(b[2]) for b in blocks]
+
+    # host block cache (true rows, BEFORE inert padding): the operand for
+    # the standalone distributed setup ops (parallel/matops.py —
+    # GlobalMatrix::Transpose / TripleMatrixProduct analogs)
+    import scipy.sparse as sp
+
+    cache_offs = np.minimum(np.arange(P + 1, dtype=np.int64) * nl, n)
+    cache_mats = [
+        sp.csr_matrix(
+            (part_d[p], (part_r[p], part_c[p])),
+            shape=(int(cache_offs[p + 1] - cache_offs[p]), ncol))
+        for p in range(P)
+    ]
+
     if square and n_pad > n:
         # pad the tail part with inert unit-diagonal rows
         p = P - 1
@@ -268,7 +282,7 @@ def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
         out = np.stack([_pad1(x, length, fill) for x in parts])
         return jnp.asarray(out if dt is None else out.astype(dt))
 
-    return GlobalCSR(
+    out = GlobalCSR(
         int_wjd=int_wjd,
         int_data=stack(int_d, nnz_int, 0, dtype),
         int_cols=stack(int_c, nnz_int, 0, np.int32),
@@ -289,6 +303,8 @@ def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
         n_global_col=ncol,
         int_nnz=tuple(len(d) for d in int_d),
     )
+    object.__setattr__(out, "_block_cache", (cache_mats, cache_offs))
+    return out
 
 
 def distribute_vector(v, nparts: int, n_local: int) -> jnp.ndarray:

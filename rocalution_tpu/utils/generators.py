@@ -64,6 +64,35 @@ def laplacian_2d_block(n: int, row_lo: int, row_hi: int, dtype=None):
             np.concatenate(vals))
 
 
+def laplacian_3d_block(n: int, row_lo: int, row_hi: int, dtype=None):
+    """Rows [row_lo, row_hi) of the 7-point 3D Laplacian as a COO block
+    (local_rows, global_cols, values) — the per-rank local construction
+    used to reach multi-million-unknown distributed setups (the global
+    matrix is never assembled; reference: laplace_3d weak-scaling
+    generator, clients/samples)."""
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    idx = np.arange(row_lo, row_hi, dtype=np.int64)
+    ix = idx % n
+    iy = (idx // n) % n
+    iz = idx // (n * n)
+    rows, cols, vals = [], [], []
+
+    def add(mask, r, c, v):
+        rows.append(r[mask] - row_lo)
+        cols.append(c[mask])
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    add(np.ones(len(idx), dtype=bool), idx, idx, 6.0)
+    add(ix > 0, idx, idx - 1, -1.0)
+    add(ix < n - 1, idx, idx + 1, -1.0)
+    add(iy > 0, idx, idx - n, -1.0)
+    add(iy < n - 1, idx, idx + n, -1.0)
+    add(iz > 0, idx, idx - n * n, -1.0)
+    add(iz < n - 1, idx, idx + n * n, -1.0)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals))
+
+
 def anisotropic_laplacian_2d(n: int, epsilon: float = 0.1,
                              dtype=None) -> CSR:
     """Stretched/anisotropic 5-point Laplacian: -u_xx - eps*u_yy on an

@@ -180,3 +180,71 @@ def test_dist_rs_single_part_matches_serial():
     diff = Pg - Pser
     mx = np.abs(diff.data).max() if diff.nnz else 0.0
     assert mx < 1e-12, mx
+
+
+def test_global_transpose_and_triple_product():
+    """Standalone distributed ops (reference: GlobalMatrix::Transpose /
+    TripleMatrixProduct, global_matrix.hpp:212-219) — exact vs the
+    assembled serial results, including a rectangular operand."""
+    from rocalution_tpu.parallel import (distribute_csr, global_transpose,
+                                         global_triple_product)
+    from rocalution_tpu.parallel.matops import _block_cache
+
+    A = rt.laplacian_2d(12)
+    d, i, p = A.numpy_triplet()
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+    Ag = distribute_csr(A, NP, wjd=False)
+    Tg = global_transpose(Ag, wjd=False)
+    mats, offs = _block_cache(Tg)
+    T_assembled = _assemble(mats, offs, A.shape[0])
+    assert (T_assembled != S.T.tocsr()).nnz == 0
+
+    # rectangular P (n x nc): R A P with R = P^T
+    P_m, R_m, Ac_m, coffs = dist_sa_level(
+        [m for m in _block_cache(Ag)[0]], offs, strategy="greedy")
+    NC = int(coffs[-1])
+    Pg = global_csr_from_blocks(
+        [( (c := m.tocoo()).row, c.col, c.data) for m in P_m],
+        (A.shape[0], NC), wjd=False)
+    Rg = global_transpose(Pg, wjd=False)
+    mats_r, offs_r = _block_cache(Rg)
+    Rg_assembled = _assemble(mats_r, offs_r, A.shape[0])
+    Pg_assembled = _assemble(*_block_cache(Pg), NC)
+    assert (Rg_assembled != Pg_assembled.T.tocsr()).nnz == 0
+
+    Acg = global_triple_product(Rg, Ag, Pg, wjd=False)
+    Ac_assembled = _assemble(*_block_cache(Acg), NC)
+    ref = (Pg_assembled.T @ S @ Pg_assembled).tocsr()
+    diff = Ac_assembled - ref
+    mx = np.abs(diff.data).max() if diff.nnz else 0.0
+    assert mx < 1e-12, mx
+
+
+@pytest.mark.parametrize("cycle", ["W", "F", "K"])
+def test_dist_cycles(cycle):
+    """Distributed W/F/K cycles (VERDICT r3 item: dist closure was V-only;
+    reference runs every cycle at global scope, base_multigrid.cpp:720-981
+    instantiated for GlobalMatrix). Outer FCG tolerates the K-cycle's
+    variable preconditioning."""
+    from rocalution_tpu.solvers.krylov.fcg import fcg
+
+    n = 24
+    N = n * n
+    offs = _offsets(NP, N)
+    blocks = [laplacian_2d_block(n, int(offs[q]), int(offs[q + 1]))
+              for q in range(NP)]
+    dl = distributed_amg_setup(blocks, (N, N), coarse_size=60,
+                               strategy="greedy", wjd=False)
+    b = np.zeros(N)
+    for q, (r, c, d) in enumerate(blocks):
+        np.add.at(b, r + int(offs[q]), d)
+    x, info = dist_amg_solve_sharded(fcg, dl, b, mesh=make_mesh(NP),
+                                     cycle=cycle, rel_tol=1e-8,
+                                     max_iter=100)
+    assert int(info.status) in (1, 2), (cycle, int(info.status))
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+    # stronger cycles must not be weaker than V
+    _, info_v = dist_amg_solve_sharded(fcg, dl, b, mesh=make_mesh(NP),
+                                       cycle="V", rel_tol=1e-8,
+                                       max_iter=100)
+    assert int(info.iterations) <= int(info_v.iterations) + 2
