@@ -136,16 +136,13 @@ def _unrolled_slots(K, slot, carry):
 
 def _kernel(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
             K, group, nj):
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     acc_dtype = y_ref.dtype
     rows = _load_rows(nj)
 
     for g in range(group):               # static unroll over tiles
-        t = step * group + g
-
-        def slot(k, acc, g=g, t=t):
-            base = brow_ref[t, k]
+        def slot(k, acc, g=g):
+            base = brow_ref[0, g, k]
             dl = lane + u_ref[g, k].astype(jnp.int32)   # in [0, 127 + win)
             c = dl & 127
             j = dl >> 7                  # gather candidate in [0, nj)
@@ -190,16 +187,13 @@ def _kernel_roll(brow_ref, diag_ref, x_ref, val_ref, y_ref, *,
     is never streamed (banded/stencil fast path; cf. the reference's DIA
     kernels, hip_matrix_dia.cpp — here it serves arbitrary CSR input whose
     slots happen to be banded, which is most of a WJD'd stencil matrix)."""
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     acc_dtype = y_ref.dtype
     roll = _roll_fn(interpret)
 
     for g in range(group):
-        t = step * group + g
-
-        def slot(k, acc, g=g, t=t):
-            gat = _rolled_window(x_ref, brow_ref[t, k], diag_ref[t, k],
+        def slot(k, acc, g=g):
+            gat = _rolled_window(x_ref, brow_ref[0, g, k], diag_ref[0, g, k],
                                  lane, roll)
             v = val_ref[g, k]
             if v.dtype != acc_dtype:         # bf16 values, f32 accumulate
@@ -212,18 +206,15 @@ def _kernel_roll(brow_ref, diag_ref, x_ref, val_ref, y_ref, *,
 def _kernel_roll_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref,
                     vl_ref, yh_ref, yl_ref, *, K, group, interpret):
     """Roll-mode float-float SpMV (see _kernel_ff for the arithmetic)."""
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     one = one_ref[0, 0]
     roll = _roll_fn(interpret)
 
     for g in range(group):
-        t = step * group + g
-
-        def slot(k, carry, g=g, t=t):
+        def slot(k, carry, g=g):
             acc, accl = carry
-            base = brow_ref[t, k]
-            du = diag_ref[t, k]
+            base = brow_ref[0, g, k]
+            du = diag_ref[0, g, k]
             gh = _rolled_window(xh_ref, base, du, lane, roll)
             gl = _rolled_window(xl_ref, base, du, lane, roll)
             vh = vh_ref[g, k]
@@ -245,16 +236,13 @@ def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
     gathers are batched over the kc right-hand sides (x_ref: (kc, XR, 128);
     y_ref: (kc, group, 8, 128)) — value HBM traffic is paid once per slot
     instead of once per column (the csrmm analog, hip_sparse.hpp)."""
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     acc_dtype = y_ref.dtype
     rows = _load_rows(nj)
 
     for g in range(group):
-        t = step * group + g
-
-        def slot(k, accs, g=g, t=t):
-            base = brow_ref[t, k]
+        def slot(k, accs, g=g):
+            base = brow_ref[0, g, k]
             dl = lane + u_ref[g, k].astype(jnp.int32)
             c = dl & 127
             j = dl >> 7
@@ -279,17 +267,14 @@ def _kernel_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref, vl_ref,
     """Float-float SpMV: per nonzero v*x with v = vh+vl, x = xh+xl:
     (p, e) = TwoProd(vh, xh); e += vh*xl + vl*xh (the vl*xl term is
     ~2^-72 relative — dropped); compensated accumulate into (acc, accl)."""
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     rows = _load_rows(nj)
     one = one_ref[0, 0]              # runtime-opaque 1.0f (see _two_prod)
 
     for g in range(group):
-        t = step * group + g
-
-        def slot(k, carry, g=g, t=t):
+        def slot(k, carry, g=g):
             acc, accl = carry
-            base = brow_ref[t, k]
+            base = brow_ref[0, g, k]
             dl = lane + u_ref[g, k].astype(jnp.int32)
             c = dl & 127
             j = dl >> 7
@@ -321,8 +306,22 @@ def _wjd_apply(A: WJD, xp2d, *, interpret=False):
         return _wjd_apply_32(A, xp2d, interpret)
 
 
+def _steps3(A, diag=False):
+    """(Tp, K) scalar array -> (nsteps, group, K) for per-step SMEM blocks."""
+    arr = A.diag_u if diag else A.brow
+    Tp, K = A.brow.shape
+    return arr.reshape(Tp // A.group, A.group, K)
+
+
 def _specs(A, x_shapes):
-    """Common grid spec pieces: (grid, in_specs for [x..., slotblocks])."""
+    """Common grid spec pieces: (grid, in_specs for [x..., slotblocks]).
+
+    brow/diag_u arrive as per-step (group, K) SMEM BLOCKS, not whole-array
+    scalar prefetches: Mosaic stores a prefetched SMEM operand padded to
+    (ceil8(Tp), 128) int32, so ANY matrix beyond ~1M rows blew the 1 MiB
+    SMEM budget regardless of K (seen on hardware at 2.1M:
+    'Allocation (size=1052672) would exceed memory (size=1048576)').
+    Blocked SMEM operands cost one tiny DMA per grid step instead."""
     Tp, K = A.brow.shape
     group = A.group
     grid = (Tp // group,)
@@ -331,16 +330,20 @@ def _specs(A, x_shapes):
                      memory_space=pltpu.VMEM)
         for shp in x_shapes
     ]
+    # (nsteps, group, K) layout with (1, group, K) blocks: Mosaic requires
+    # the LAST TWO block dims be whole (or 8/128-divisible) even in SMEM
+    scal_spec = pl.BlockSpec((1, group, K), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
     slot_spec = pl.BlockSpec((group, K, 8, 128),
                              lambda i, *_: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((group, 8, 128), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    return grid, x_specs, slot_spec, out_spec, Tp, K, group
+    return grid, scal_spec, x_specs, slot_spec, out_spec, Tp, K, group
 
 
 def _wjd_apply_32(A: WJD, xp2d, interpret):
-    grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
+    grid, scal_spec, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
         A, [xp2d.shape])
     # bf16 values accumulate in f32 (half the matrix bytes, f32-quality
     # sums — no reference counterpart, rocSPARSE csrmv is f32/f64 only)
@@ -351,34 +354,28 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
                                  interpret=interpret)
         return pl.pallas_call(
             kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,       # brow, diag_u
-                grid=grid,
-                in_specs=x_specs + [slot_spec],
-                out_specs=out_spec,
-            ),
+            grid=grid,
+            in_specs=[scal_spec, scal_spec] + x_specs + [slot_spec],
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
             interpret=interpret,
-        )(A.brow, A.diag_u, xp2d, A.data)
+        )(_steps3(A), _steps3(A, True), xp2d, A.data)
     kern = functools.partial(_kernel, K=K, group=group, nj=A.nj)
     y = pl.pallas_call(
         kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,           # brow, diag_u
-            grid=grid,
-            in_specs=x_specs + [slot_spec, slot_spec],
-            out_specs=out_spec,
-        ),
+        grid=grid,
+        in_specs=[scal_spec, scal_spec] + x_specs + [slot_spec, slot_spec],
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
         interpret=interpret,
-    )(A.brow, A.diag_u, xp2d, A.data, A.uloc)
+    )(_steps3(A), _steps3(A, True), xp2d, A.data, A.uloc)
     return y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
     with jax.enable_x64(False):
-        grid, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
+        grid, scal_spec, x_specs, slot_spec, out_spec, Tp, K, group = _specs(
             A, [xh2d.shape, xl2d.shape])
         out32 = jax.ShapeDtypeStruct((Tp, 8, 128), jnp.float32)
         one_spec = pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
@@ -389,28 +386,23 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
                                      interpret=interpret)
             return pl.pallas_call(
                 kern,
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=2,
-                    grid=grid,
-                    in_specs=[one_spec] + x_specs + [slot_spec, slot_spec],
-                    out_specs=(out_spec, out_spec),
-                ),
+                grid=grid,
+                in_specs=[scal_spec, scal_spec, one_spec] + x_specs
+                + [slot_spec, slot_spec],
+                out_specs=(out_spec, out_spec),
                 out_shape=(out32, out32),
                 interpret=interpret,
-            )(A.brow, A.diag_u, one, xh2d, xl2d, A.data, A.data_lo)
+            )(_steps3(A), _steps3(A, True), one, xh2d, xl2d, A.data, A.data_lo)
         kern = functools.partial(_kernel_ff, K=K, group=group, nj=A.nj)
         yh, yl = pl.pallas_call(
             kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=[one_spec] + x_specs
-                + [slot_spec, slot_spec, slot_spec],
-                out_specs=(out_spec, out_spec),
-            ),
+            grid=grid,
+            in_specs=[scal_spec, scal_spec, one_spec] + x_specs
+            + [slot_spec, slot_spec, slot_spec],
+            out_specs=(out_spec, out_spec),
             out_shape=(out32, out32),
             interpret=interpret,
-        )(A.brow, A.diag_u, one, xh2d, xl2d,
+        )(_steps3(A), _steps3(A, True), one, xh2d, xl2d,
           A.data, A.data_lo, A.uloc)
         return yh, yl
 
@@ -441,7 +433,8 @@ def wjd_reference(A: WJD, x):
 @functools.partial(jax.jit, static_argnames=("kc", "interpret"))
 def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
     with jax.enable_x64(False):
-        grid, x_specs, slot_spec, _, Tp, K, group = _specs(A, [xp3d.shape])
+        grid, scal_spec, x_specs, slot_spec, _, Tp, K, group = _specs(
+            A, [xp3d.shape])
         kern = functools.partial(_kernel_mrhs, K=K, group=group, nj=A.nj,
                                  kc=kc)
         out_spec = pl.BlockSpec((kc, group, 8, 128),
@@ -451,15 +444,13 @@ def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
                   else A.data.dtype)
         y = pl.pallas_call(
             kern,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=x_specs + [slot_spec, slot_spec],
-                out_specs=out_spec,
-            ),
+            grid=grid,
+            in_specs=[scal_spec, scal_spec] + x_specs
+            + [slot_spec, slot_spec],
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((kc, Tp, 8, 128), acc_dt),
             interpret=interpret,
-        )(A.brow, A.diag_u, xp3d, A.data, A.uloc)
+        )(_steps3(A), _steps3(A, True), xp3d, A.data, A.uloc)
         return y
 
 

@@ -110,10 +110,13 @@ def _use_pallas(wjd, xdt) -> bool:
     return False
 
 
-# the WJD kernel SMEM-prefetches brow + diag_u ((Tp, K) int32 each); the
-# per-kernel SMEM budget is 1 MiB, so matrices whose slot plan exceeds it
-# (huge K from scattered columns — e.g. AMG transfer operators) must stay
-# on the XLA path. Seen on hardware: (2056, 128) brow -> 1052672 B > 1 MiB.
+# The kernel streams brow/diag_u as per-grid-step (group, K) SMEM blocks
+# (ops/pallas/spmv_wjd._specs) — a few KB per step — so matrix size no
+# longer bounds SMEM. (History: whole-array scalar prefetch stored the
+# operand padded to (ceil8(Tp), 128) int32, so ANY operator beyond ~1M
+# rows exceeded the 1 MiB SMEM budget regardless of K — seen on hardware
+# at 2.1M as 'Allocation (size=1052672) would exceed memory'.) The
+# remaining gate is the per-step SMEM block itself, padded the same way.
 _WJD_SMEM_BUDGET = 900_000
 
 
@@ -122,7 +125,9 @@ def _wjd_fits(W) -> bool:
 
     if isinstance(W, ComplexWJD):
         return _wjd_fits(W.re)
-    return 2 * 4 * int(W.brow.size) <= _WJD_SMEM_BUDGET
+    group = int(W.group)
+    pad8 = -(-group // 8) * 8
+    return 2 * 4 * pad8 * 128 <= _WJD_SMEM_BUDGET
 
 
 def attach_wjd(A: CSR, **kwargs) -> CSR:
