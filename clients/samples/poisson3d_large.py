@@ -9,16 +9,15 @@ and runs the whole preconditioned-CG solve as ONE XLA program via
 constants).
 
 POISSON_N=128 python clients/samples/poisson3d_large.py   # 2.1M unknowns
-Measured (TPU v5e, single chip, N=128): 4 levels 2.1M->263k->15.9k->680,
-11 CG iterations, 3.6 s solve, ~40 s host setup, rms error 1e-6.
+Measured (TPU v5e, single chip, N=128, round 4): 4 levels
+2.1M->263k->15.9k->680, 11 CG iterations, 644 ms solve (58.5 ms/V-cycle
+iteration — was ~330 in round 3, before transfers were WJD-served),
+10.2 s host setup (was ~40 s), rms error 1e-6.
 
-N=256 (16.7M unknowns): the 5-level hierarchy builds (524 s host,
-16.7M->2M->119k->4.7k->165) but the single-chip solve exhausts worker
-memory during the first V-cycle (the XLA-gather transfer applies
-materialize ~nnz-sized intermediates; ~117M nnz at level 0) — that size
-is the distributed path's job (parallel/amg_setup.py builds the hierarchy
-from per-part blocks without ever assembling the global operator; run it
-on a real multi-chip slice).
+N=256 (16.7M unknowns): the distributed-setup route is the one that
+scales — see `poisson3d_dist.py` (per-part blocks, the global operator is
+never assembled; captured 8-part run: 11 iterations, rms 1.75e-6 —
+BASELINE.md "256³ scale row").
 """
 
 import os
