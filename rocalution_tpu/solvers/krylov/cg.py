@@ -27,7 +27,9 @@ def cg(A, b, x0=None, M=None, *, ctrl: IterationControl | None = None, **kwargs)
     """Solve A x = b with (preconditioned) CG.
 
     Returns ``(x, SolverInfo)``. Tolerance kwargs: abs_tol, rel_tol, div_tol,
-    min_iter, max_iter, record_history (see IterationControl). Pass
+    min_iter, max_iter, record_history (see IterationControl);
+    ``res_norm=1|2|3`` selects the L1/L2/L-infinity convergence norm
+    (SetResidualNorm analog — every solver accepts it). Pass
     ``axis_name=...`` when calling inside `shard_map` for a distributed solve.
     """
     op, b, x, precond, ctrl, red = prepare(A, b, x0, M, ctrl, kwargs)
