@@ -260,6 +260,45 @@ def dist_rs_level(mats: Sequence, offs: np.ndarray, *, theta: float = 0.25,
     return P_mats, R_mats, Ac_mats, coffs
 
 
+def dist_pairwise_level(mats: Sequence, offs: np.ndarray, *,
+                        beta: float = 0.25, npass: int = 2,
+                        seed: int = 0):
+    """One distributed pairwise-aggregation (Notay) coarsening step:
+    decoupled matching per part's diagonal block (the same
+    subdomain-blocking treatment as `dist_rs_level`), exact global
+    Galerkin through the exchange helpers. Completes the reference's
+    global-scope AMG family (PairwiseAMG for GlobalMatrix,
+    global_matrix.cpp:4041-4311)."""
+    import scipy.sparse as sp
+
+    from ..solvers.multigrid.aggregation import (pairwise_level,
+                                                 tentative_prolongation)
+
+    Pn = len(mats)
+    P_locs, ncs = [], []
+    for p in range(Pn):
+        local = mats[p][:, offs[p]:offs[p + 1]].tocsr()
+        from ..formats import CSR
+
+        loc = CSR.from_arrays(local.data, local.indices, local.indptr,
+                              local.shape, device=False)
+        Pl, _, _ = pairwise_level(loc, beta=beta, npass=npass,
+                                  seed=seed + p)
+        d, i, ptr = Pl.numpy_triplet()
+        P_locs.append(sp.csr_matrix((d, i, ptr), shape=Pl.shape))
+        ncs.append(Pl.shape[1])
+    coffs = np.concatenate([[0], np.cumsum(ncs)]).astype(np.int64)
+    NC = int(coffs[-1])
+    P_mats = []
+    for p in range(Pn):
+        coo = P_locs[p].tocoo()
+        P_mats.append(sp.csr_matrix(
+            (coo.data, (coo.row, coo.col + coffs[p])),
+            shape=(P_locs[p].shape[0], NC)))
+    R_mats, Ac_mats = _dist_galerkin(mats, offs, P_mats, coffs)
+    return P_mats, R_mats, Ac_mats, coffs
+
+
 def _inv_diag_stacked(mats, offs, nparts, nl) -> jnp.ndarray:
     out = np.ones((nparts, nl))
     for p in range(len(mats)):
@@ -322,11 +361,11 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
                           ) -> DistLevels:
     """Build a distributed AMG hierarchy from per-part row blocks.
 
-    `kind`: "sa" (smoothed aggregation, `dist_sa_level`) or "rs"
+    `kind`: "sa" (smoothed aggregation, `dist_sa_level`), "rs"
     (Ruge-Stüben, `dist_rs_level` — decoupled C/F + direct/ExtPI
-    interpolation; `theta`/`interpolation` apply). The reference builds
-    every AMG type at global scope the same way
-    (global_matrix.cpp:4041-4311).
+    interpolation; `theta`/`interpolation` apply) or "pairwise"
+    (`dist_pairwise_level`, Notay matching). The reference builds every
+    AMG type at global scope the same way (global_matrix.cpp:4041-4311).
 
     `blocks[p]` = (local_rows, global_cols, values) for part p's rows —
     the same block format `global_csr_from_blocks` takes, producible
@@ -355,6 +394,9 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
             P_m, R_m, Ac_m, coffs = dist_rs_level(
                 level_mats, level_offs, theta=theta,
                 interpolation=interpolation, seed=seed + len(As))
+        elif kind == "pairwise":
+            P_m, R_m, Ac_m, coffs = dist_pairwise_level(
+                level_mats, level_offs, seed=seed + len(As))
         else:
             # eps halves per level like the serial builder (smoothed_amg
             # .cpp:263-267) — a fixed eps stalls aggregation at depth

@@ -248,3 +248,24 @@ def test_dist_cycles(cycle):
                                        cycle="V", rel_tol=1e-8,
                                        max_iter=100)
     assert int(info.iterations) <= int(info_v.iterations) + 2
+
+
+def test_dist_pairwise_setup_and_solve():
+    """Distributed pairwise AMG (completes the global-scope AMG family;
+    reference PairwiseAMG for GlobalMatrix): Galerkin exactness is shared
+    machinery, so the end-to-end sharded solve is the check."""
+    n = 24
+    N = n * n
+    offs = _offsets(NP, N)
+    blocks = [laplacian_2d_block(n, int(offs[q]), int(offs[q + 1]))
+              for q in range(NP)]
+    dl = distributed_amg_setup(blocks, (N, N), kind="pairwise",
+                               coarse_size=60, wjd=False)
+    assert len(dl.As) >= 2
+    b = np.zeros(N)
+    for q, (r, c, d) in enumerate(blocks):
+        np.add.at(b, r + int(offs[q]), d)
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(NP),
+                                     rel_tol=1e-8, max_iter=200)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
