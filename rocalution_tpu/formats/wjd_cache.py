@@ -106,12 +106,47 @@ def load_plan(key: str) -> Optional[dict]:
         return None          # corrupt/partial file: replan
 
 
+# total-directory budget: oldest entries are evicted past this (the cache
+# is a per-machine optimization, not an archive); single plans above the
+# per-entry cap are not persisted at all (a multi-GB write costs more than
+# the replan it saves)
+_DIR_BUDGET_BYTES = int(os.environ.get("ROCALUTION_TPU_PLAN_CACHE_BYTES",
+                                       8 << 30))
+_MAX_ENTRY_BYTES = 1 << 30
+
+
+def _evict(d: str, incoming: int) -> None:
+    try:
+        entries = []
+        total = incoming
+        for f in os.listdir(d):
+            if not f.endswith(".npz"):
+                continue
+            p = os.path.join(d, f)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+            total += st.st_size
+        entries.sort()
+        for _, sz, p in entries:
+            if total <= _DIR_BUDGET_BYTES:
+                break
+            os.unlink(p)
+            total -= sz
+    except Exception:
+        pass
+
+
 def save_plan(key: str, plan: dict) -> None:
     d = cache_dir()
     if d is None:
         return
+    size_est = sum(np.asarray(plan[f]).nbytes for f in _ARRAY_FIELDS
+                   if plan.get(f) is not None)
+    if size_est > _MAX_ENTRY_BYTES:
+        return
     try:
         os.makedirs(d, exist_ok=True)
+        _evict(d, size_est)
         arrays, dtypes = {}, {}
         for f in _ARRAY_FIELDS:
             a = plan.get(f)
