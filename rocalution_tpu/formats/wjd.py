@@ -92,6 +92,12 @@ class WJD(MatrixBase):
     # (see ops/pallas/spmv_wjd.py) — the TPU answer to the reference's
     # natively-double csrmv (hip_matrix_csr.cpp:1215-1276).
     data_lo: Optional[jnp.ndarray] = None
+    # roll mode only: per-grid-step first x row of the step's window
+    # ((nsteps,) int32; local slot base = brow - win_base[step]). Lets the
+    # kernel keep x in HBM and DMA only a (win_rows, 128) window per step —
+    # without it the whole padded x must be VMEM-resident, which caps a
+    # single chip at ~4M rows (scoped-VMEM limit, measured at 16.7M).
+    win_base: Optional[jnp.ndarray] = None
     shape: Tuple[int, int] = static_field(default=(0, 0))
     value_dtype: str = static_field(default="float32")  # logical value dtype
     # "gather": nj lane-shuffles per slot (general sparsity).
@@ -105,6 +111,7 @@ class WJD(MatrixBase):
     nnz: int = static_field(default=0)
     group: int = static_field(default=8)     # tiles per kernel grid step
     wlog: int = static_field(default=8)      # log2 window width
+    win_rows: int = static_field(default=0)  # x rows per step window (roll)
 
     @property
     def nj(self) -> int:
@@ -435,15 +442,45 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
                                                   fill, 0)).astype(np.int32)
 
         max_brow = int(brow_arr.max())
+
+        win_base = None
+        win_rows = 0
+        if kernel_mode == "roll":
+            # Per-grid-step x windows (HBM-x kernel variant): window base =
+            # min REAL brow in the step; EMPTY slots (brow left 0 at
+            # scatter) are re-based to that minimum so their harmless loads
+            # stay inside the step's window. win_rows covers the deepest
+            # load (brow + (du>>7) + 16 with du>>7 <= 1 -> +17 rows).
+            nsteps = Tp // group
+            real = np.zeros((Tp, K), dtype=bool)
+            real[slot_t, k_of_slot] = True
+            b3 = brow_arr.reshape(nsteps, group, K)
+            r3 = real.reshape(nsteps, group, K)
+            BIG = np.int64(1) << 40
+            bmin = np.where(r3, b3, BIG).reshape(nsteps, -1).min(axis=1)
+            bsup = np.where(r3, b3, -1).reshape(nsteps, -1).max(axis=1)
+            empty_step = bmin >= BIG
+            bmin = np.where(empty_step, 0, bmin)
+            bsup = np.maximum(bsup, bmin)
+            brow_arr = np.where(
+                r3, b3, bmin[:, None, None]).reshape(Tp, K)
+            win_base = bmin.astype(np.int32)
+            win_rows = int((bsup - bmin).max()) + 18
+            win_rows = -(-win_rows // 8) * 8 + 8
     else:
         pad_lo = 0
         max_brow = 0
+        win_base = None
+        win_rows = 0
 
     # padded x must cover the deepest window load: rows [brow, brow+load_rows)
     # (roll kernel: one 16-row load at brow + (du>>7) with du>>7 <= 1 -> 17
     # rows past brow; +8 margin keeps it sublane-aligned)
     load_need = _load_rows(nj) + (8 if kernel_mode == "roll" else 0)
     need_rows = max_brow + load_need
+    if win_base is not None and len(win_base):
+        # the HBM-x variant copies [win_base, win_base + win_rows) per step
+        need_rows = max(need_rows, int(win_base.max()) + win_rows)
     xp_len = max(need_rows * 128, -(-(pad_lo + m) // 128) * 128)
     sr, sc, sv = spill
 
@@ -467,6 +504,8 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         uloc=u_arr.astype(udtype),
         brow=brow_arr.astype(np.int32),
         diag_u=diag_arr,
+        win_base=win_base,
+        win_rows=int(win_rows),
         spill_row=np.asarray(sr, dtype=np.int32),
         spill_col=np.asarray(sc, dtype=np.int32),
         spill_val=np.asarray(sv),
@@ -484,6 +523,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
 def _plan_to_wjd(plan: dict) -> WJD:
     """Materialize a host plan as the WJD device pytree (one upload per
     array; the only jnp construction on the conversion path)."""
+    wb = plan.get("win_base")
     return WJD(
         data=jnp.asarray(plan["data"]),
         data_lo=(None if plan["data_lo"] is None
@@ -491,6 +531,8 @@ def _plan_to_wjd(plan: dict) -> WJD:
         uloc=jnp.asarray(plan["uloc"]),
         brow=jnp.asarray(plan["brow"], dtype=jnp.int32),
         diag_u=jnp.asarray(plan["diag_u"]),
+        win_base=None if wb is None else jnp.asarray(wb, dtype=jnp.int32),
+        win_rows=int(plan.get("win_rows", 0)),
         spill_row=jnp.asarray(plan["spill_row"], dtype=jnp.int32),
         spill_col=jnp.asarray(plan["spill_col"], dtype=jnp.int32),
         spill_val=jnp.asarray(plan["spill_val"]),

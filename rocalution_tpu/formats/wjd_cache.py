@@ -28,13 +28,14 @@ from typing import Optional
 import numpy as np
 
 # bump when the plan layout / WJD field semantics change
-# (v2: roll-kernel 16-row loads need 8 more rows of x padding)
-PLAN_VERSION = 2
+# (v2: roll-kernel 16-row loads need 8 more rows of x padding;
+#  v3: per-step win_base/win_rows for the HBM-x roll variant)
+PLAN_VERSION = 3
 
-_ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u",
+_ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u", "win_base",
                  "spill_row", "spill_col", "spill_val")
 _STATIC_FIELDS = ("shape", "pad_lo", "xp_len", "nnz", "group", "wlog",
-                  "value_dtype", "kernel_mode")
+                  "win_rows", "value_dtype", "kernel_mode")
 
 
 def cache_dir() -> Optional[str]:

@@ -230,6 +230,43 @@ def _kernel_roll_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref,
         yl_ref[g] = accl
 
 
+def _kernel_roll_hbm(brow_ref, diag_ref, wb_ref, x_hbm, val_ref, y_ref,
+                     xwin, sem, *, K, group, win_rows, interpret):
+    """Roll-mode SpMV with x resident in HBM: each grid step DMAs only its
+    (win_rows, 128) x window into VMEM scratch (window base = per-step
+    win_base scalar; slot addressing is window-relative). This removes the
+    whole-x VMEM residency that capped a single chip at ~4M rows (scoped
+    VMEM is 16 MB; a 16.7M-row x plane is 67 MB — seen on hardware), at
+    the cost of one ~win_rows*512 B copy per step. Banded operators keep
+    win_rows small (3D Laplacian at 256³: ~1.1k rows = 0.57 MB/step)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    acc_dtype = y_ref.dtype
+    roll = _roll_fn(interpret)
+    wb = wb_ref[0, 0, 0]
+
+    copy = pltpu.make_async_copy(x_hbm.at[pl.ds(wb, win_rows), :], xwin,
+                                 sem)
+    copy.start()
+    copy.wait()
+
+    for g in range(group):
+        def slot(k, acc, g=g):
+            gat = _rolled_window(xwin, brow_ref[0, g, k] - wb,
+                                 diag_ref[0, g, k], lane, roll)
+            v = val_ref[g, k]
+            if v.dtype != acc_dtype:
+                v = v.astype(acc_dtype)
+            return acc + v * gat
+
+        y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
+
+
+# x planes above this stay in HBM and are windowed per grid step (roll
+# mode only); below it the whole plane lives in VMEM for the call, which
+# is faster (no per-step copy) and always fits the scoped-VMEM budget
+_X_VMEM_BUDGET = 12 << 20
+
+
 def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
                  K, group, nj, kc):
     """Blocked-RHS SpMM: the slot value vreg is loaded ONCE and the lane
@@ -350,6 +387,28 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
     acc_dt = (jnp.float32 if A.data.dtype == jnp.bfloat16
               else A.data.dtype)
     if A.kernel_mode == "roll":
+        if (not interpret and A.win_base is not None
+                and xp2d.size * xp2d.dtype.itemsize > _X_VMEM_BUDGET):
+            # beyond-VMEM x: keep x in HBM, DMA a per-step window
+            nsteps = Tp // group
+            wb_spec = pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
+            kern = functools.partial(_kernel_roll_hbm, K=K, group=group,
+                                     win_rows=A.win_rows,
+                                     interpret=interpret)
+            return pl.pallas_call(
+                kern,
+                grid=grid,
+                in_specs=[scal_spec, scal_spec, wb_spec,
+                          pl.BlockSpec(memory_space=pltpu.ANY)]
+                + [slot_spec],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
+                scratch_shapes=[pltpu.VMEM((A.win_rows, 128), xp2d.dtype),
+                                pltpu.SemaphoreType.DMA],
+                interpret=interpret,
+            )(_steps3(A), _steps3(A, True),
+              A.win_base.reshape(nsteps, 1, 1), xp2d, A.data)
         kern = functools.partial(_kernel_roll, K=K, group=group,
                                  interpret=interpret)
         return pl.pallas_call(

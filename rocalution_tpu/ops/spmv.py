@@ -122,12 +122,24 @@ _WJD_SMEM_BUDGET = 900_000
 
 def _wjd_fits(W) -> bool:
     from ..formats.wjd import ComplexWJD
+    from .pallas.spmv_wjd import _X_VMEM_BUDGET
 
     if isinstance(W, ComplexWJD):
         return _wjd_fits(W.re)
     group = int(W.group)
     pad8 = -(-group // 8) * 8
-    return 2 * 4 * pad8 * 128 <= _WJD_SMEM_BUDGET
+    if 2 * 4 * pad8 * 128 > _WJD_SMEM_BUDGET:
+        return False
+    # x-plane VMEM requirement: the kernels keep the padded x VMEM-resident
+    # (scoped limit ~16 MiB) EXCEPT the roll variant with per-step windows
+    # (win_base), which keeps x in HBM and needs only win_rows*512 B
+    xp_bytes = int(W.xp_len) * 4
+    if W.data_lo is not None:              # float-float: two planes
+        return 2 * xp_bytes <= _X_VMEM_BUDGET
+    if W.kernel_mode == "roll" and W.win_base is not None:
+        return (xp_bytes <= _X_VMEM_BUDGET
+                or int(W.win_rows) * 512 <= _X_VMEM_BUDGET)
+    return xp_bytes <= _X_VMEM_BUDGET
 
 
 def attach_wjd(A: CSR, **kwargs) -> CSR:

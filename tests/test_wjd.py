@@ -422,3 +422,39 @@ def test_wjd_plan_cache_hit_in_conversion(tmp_path, monkeypatch):
     S = sp.csr_matrix((d, i, p), shape=A.shape)
     rel = np.linalg.norm(y1 - S @ x) / np.linalg.norm(S @ x)
     assert rel < 1e-5
+
+
+def test_wjd_roll_window_plan_fields():
+    """Per-step window metadata for the HBM-x roll variant: win_base must
+    bound every slot's loads ([brow, brow+17] within [wb, wb+win_rows)),
+    empty slots included (they are re-based into the step window)."""
+    A = rt.laplacian_3d(24, dtype=np.float32)   # banded -> roll mode
+    d, i, p = A.numpy_triplet()
+    from rocalution_tpu.formats.wjd import csr_to_wjd_plan
+
+    plan = csr_to_wjd_plan(d, i, p, A.shape, cache=False)
+    assert plan["kernel_mode"] == "roll"
+    wb = plan["win_base"]
+    WR = plan["win_rows"]
+    assert wb is not None and WR > 0 and WR % 8 == 0
+    Tp, K = plan["brow"].shape
+    group = plan["group"]
+    nsteps = Tp // group
+    assert wb.shape == (nsteps,)
+    b3 = plan["brow"].reshape(nsteps, group, K)
+    q3 = (plan["diag_u"].reshape(nsteps, group, K) >> 7)
+    lo = b3.min(axis=(1, 2))
+    hi = (b3 + q3).max(axis=(1, 2)) + 17
+    assert (lo >= wb).all()
+    assert (hi <= wb + WR).all()
+    # padded x covers the deepest window
+    assert int(wb.max()) + WR <= plan["xp_len"] // 128
+    # the interpret-mode apply (whole-x path) still matches scipy
+    import scipy.sparse as sp
+
+    W = csr_to_wjd(d, i, p, A.shape, cache=False)
+    x = np.random.default_rng(0).standard_normal(A.shape[0]).astype(
+        np.float32)
+    y = np.asarray(spmv(W, jnp.asarray(x)))
+    ref = sp.csr_matrix((d, i, p), shape=A.shape) @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
