@@ -380,10 +380,24 @@ def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
     return plan_out
 
 
+# single source of truth for the x-plane VMEM budget (the pallas layer
+# imports it): above this the roll kernel windows x from HBM per step
+X_VMEM_BUDGET = 12 << 20
+
+
 def _auto_group(K: int) -> int:
     """Tiles per grid step: enough slots per step to amortize grid overhead,
     small enough to keep the double-buffered slot blocks in VMEM."""
     return max(1, min(8, 256 // max(K, 1)))
+
+
+def _auto_group_windowed(K: int) -> int:
+    """Tiles per grid step in the HBM-x windowed regime: each step re-DMAs
+    a band-wide x window, so MORE tiles per step amortize it (group 8
+    advances 64 rows under a ~1.1k-row window -> ~17x x re-fetch, measured
+    224 GB/s at 16.7M; group 64 cuts the amplification to ~3x). Slot
+    blocks stay VMEM-safe: 64*K*4 KiB <= ~2 MiB for roll-mode K."""
+    return max(_auto_group(K), min(64, max(8, 512 // max(K, 1))))
 
 
 def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
@@ -392,6 +406,8 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     win = 1 << wlog
     nj = win // 128 + 1
     group = _auto_group(K)
+    if kernel_mode == "roll" and int(m) * 4 > X_VMEM_BUDGET:
+        group = _auto_group_windowed(K)   # HBM-x windowed regime
     T = max(1, -(-n // TILE))
     Tp = -(-T // group) * group
 

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...formats.wjd import WJD, _load_rows
+from ...formats.wjd import WJD, X_VMEM_BUDGET, _load_rows
 
 _LANE_DNUMS = jax.lax.GatherDimensionNumbers(
     offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
@@ -230,41 +230,121 @@ def _kernel_roll_ff(brow_ref, diag_ref, one_ref, xh_ref, xl_ref, vh_ref,
         yl_ref[g] = accl
 
 
-def _kernel_roll_hbm(brow_ref, diag_ref, wb_ref, x_hbm, val_ref, y_ref,
-                     xwin, sem, *, K, group, win_rows, interpret):
-    """Roll-mode SpMV with x resident in HBM: each grid step DMAs only its
-    (win_rows, 128) x window into VMEM scratch (window base = per-step
+def _kernel_roll_hbm(brow_ref, diag_ref, wb_ref, wbn_ref, x_hbm, val_ref,
+                     y_ref, xw0, xw1, sem0, sem1, *,
+                     K, group, win_rows, interpret):
+    """Roll-mode SpMV with x resident in HBM: each grid step works from a
+    (win_rows, 128) x window in VMEM scratch (window base = per-step
     win_base scalar; slot addressing is window-relative). This removes the
     whole-x VMEM residency that capped a single chip at ~4M rows (scoped
-    VMEM is 16 MB; a 16.7M-row x plane is 67 MB — seen on hardware), at
-    the cost of one ~win_rows*512 B copy per step. Banded operators keep
-    win_rows small (3D Laplacian at 256³: ~1.1k rows = 0.57 MB/step)."""
+    VMEM is 16 MB; a 16.7M-row x plane is 67 MB — seen on hardware).
+
+    The windows are DOUBLE-BUFFERED: while step i computes from buffer
+    i%2, the copy for step i+1 (its base arrives via `wbn_ref`, the
+    clamped i+1 block of win_base) streams into the other buffer — the
+    per-step DMA overlaps compute instead of serializing with it. Banded
+    operators keep win_rows small (3D Laplacian at 256³ with the windowed
+    group size: ~1.6k rows = 0.8 MB/buffer)."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     acc_dtype = y_ref.dtype
     roll = _roll_fn(interpret)
     wb = wb_ref[0, 0, 0]
+    wbn = wbn_ref[0, 0, 0]
 
-    copy = pltpu.make_async_copy(x_hbm.at[pl.ds(wb, win_rows), :], xwin,
-                                 sem)
-    copy.start()
-    copy.wait()
+    def compute(xwin):
+        for g in range(group):
+            def slot(k, acc, g=g):
+                gat = _rolled_window(xwin, brow_ref[0, g, k] - wb,
+                                     diag_ref[0, g, k], lane, roll)
+                v = val_ref[g, k]
+                if v.dtype != acc_dtype:
+                    v = v.astype(acc_dtype)
+                return acc + v * gat
 
-    for g in range(group):
-        def slot(k, acc, g=g):
-            gat = _rolled_window(xwin, brow_ref[0, g, k] - wb,
-                                 diag_ref[0, g, k], lane, roll)
-            v = val_ref[g, k]
-            if v.dtype != acc_dtype:
-                v = v.astype(acc_dtype)
-            return acc + v * gat
+            y_ref[g] = _unrolled_slots(
+                K, slot, jnp.zeros((8, 128), acc_dtype))
 
-        y_ref[g] = _unrolled_slots(K, slot, jnp.zeros((8, 128), acc_dtype))
+    def own_copy(buf, sem):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wb, win_rows), :], buf, sem)
+
+    def next_copy(buf, sem):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wbn, win_rows), :], buf, sem)
+
+    @pl.when(step == 0)
+    def _():
+        own_copy(xw0, sem0).start()     # cold start for the first step
+
+    @pl.when(step % 2 == 0)
+    def _():
+        own_copy(xw0, sem0).wait()      # started at step-1 (or just above)
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            next_copy(xw1, sem1).start()
+
+        compute(xw0)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        own_copy(xw1, sem1).wait()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            next_copy(xw0, sem0).start()
+
+        compute(xw1)
 
 
 # x planes above this stay in HBM and are windowed per grid step (roll
 # mode only); below it the whole plane lives in VMEM for the call, which
 # is faster (no per-step copy) and always fits the scoped-VMEM budget
-_X_VMEM_BUDGET = 12 << 20
+# (single source of truth in formats/wjd.py — the planner picks the
+# windowed-regime group size from the same threshold)
+_X_VMEM_BUDGET = X_VMEM_BUDGET
+
+
+def _kernel_roll_ff_hbm(brow_ref, diag_ref, wb_ref, one_ref, xh_hbm,
+                        xl_hbm, vh_ref, vl_ref, yh_ref, yl_ref,
+                        xhwin, xlwin, semh, seml, *,
+                        K, group, win_rows, interpret):
+    """Float-float roll SpMV with BOTH x planes in HBM (see
+    _kernel_roll_hbm; arithmetic as in _kernel_ff)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    one = one_ref[0, 0]
+    roll = _roll_fn(interpret)
+    wb = wb_ref[0, 0, 0]
+
+    ch = pltpu.make_async_copy(xh_hbm.at[pl.ds(wb, win_rows), :], xhwin,
+                               semh)
+    cl = pltpu.make_async_copy(xl_hbm.at[pl.ds(wb, win_rows), :], xlwin,
+                               seml)
+    ch.start()
+    cl.start()
+    ch.wait()
+    cl.wait()
+
+    for g in range(group):
+        def slot(k, carry, g=g):
+            acc, accl = carry
+            base = brow_ref[0, g, k] - wb
+            du = diag_ref[0, g, k]
+            gh = _rolled_window(xhwin, base, du, lane, roll)
+            gl = _rolled_window(xlwin, base, du, lane, roll)
+            vh = vh_ref[g, k]
+            vl = vl_ref[g, k]
+            p, e = _two_prod(vh, gh, one)
+            e = e + (vh * gl + vl * gh)
+            acc, err = _two_sum(acc, p)
+            return acc, accl + (err + e)
+
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc, accl = _unrolled_slots(K, slot, (zero, zero))
+        yh_ref[g] = acc
+        yl_ref[g] = accl
 
 
 def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
@@ -389,26 +469,32 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
     if A.kernel_mode == "roll":
         if (not interpret and A.win_base is not None
                 and xp2d.size * xp2d.dtype.itemsize > _X_VMEM_BUDGET):
-            # beyond-VMEM x: keep x in HBM, DMA a per-step window
+            # beyond-VMEM x: keep x in HBM, double-buffered window DMA
             nsteps = Tp // group
             wb_spec = pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.SMEM)
+            wbn_spec = pl.BlockSpec(
+                (1, 1, 1),
+                lambda i, *_: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
+                memory_space=pltpu.SMEM)
             kern = functools.partial(_kernel_roll_hbm, K=K, group=group,
                                      win_rows=A.win_rows,
                                      interpret=interpret)
+            wb3 = A.win_base.reshape(nsteps, 1, 1)
             return pl.pallas_call(
                 kern,
                 grid=grid,
-                in_specs=[scal_spec, scal_spec, wb_spec,
+                in_specs=[scal_spec, scal_spec, wb_spec, wbn_spec,
                           pl.BlockSpec(memory_space=pltpu.ANY)]
                 + [slot_spec],
                 out_specs=out_spec,
                 out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
                 scratch_shapes=[pltpu.VMEM((A.win_rows, 128), xp2d.dtype),
+                                pltpu.VMEM((A.win_rows, 128), xp2d.dtype),
+                                pltpu.SemaphoreType.DMA,
                                 pltpu.SemaphoreType.DMA],
                 interpret=interpret,
-            )(_steps3(A), _steps3(A, True),
-              A.win_base.reshape(nsteps, 1, 1), xp2d, A.data)
+            )(_steps3(A), _steps3(A, True), wb3, wb3, xp2d, A.data)
         kern = functools.partial(_kernel_roll, K=K, group=group,
                                  interpret=interpret)
         return pl.pallas_call(
@@ -441,6 +527,34 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
                                 memory_space=pltpu.SMEM)
         one = jnp.ones((1, 1), jnp.float32)
         if A.kernel_mode == "roll":
+            if (not interpret and A.win_base is not None
+                    and 2 * xh2d.size * 4 > _X_VMEM_BUDGET):
+                nsteps = Tp // group
+                wb_spec = pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.SMEM)
+                kern = functools.partial(_kernel_roll_ff_hbm, K=K,
+                                         group=group,
+                                         win_rows=A.win_rows,
+                                         interpret=interpret)
+                return pl.pallas_call(
+                    kern,
+                    grid=grid,
+                    in_specs=[scal_spec, scal_spec, wb_spec, one_spec,
+                              pl.BlockSpec(memory_space=pltpu.ANY),
+                              pl.BlockSpec(memory_space=pltpu.ANY),
+                              slot_spec, slot_spec],
+                    out_specs=(out_spec, out_spec),
+                    out_shape=(out32, out32),
+                    scratch_shapes=[
+                        pltpu.VMEM((A.win_rows, 128), jnp.float32),
+                        pltpu.VMEM((A.win_rows, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                    ],
+                    interpret=interpret,
+                )(_steps3(A), _steps3(A, True),
+                  A.win_base.reshape(nsteps, 1, 1), one, xh2d, xl2d,
+                  A.data, A.data_lo)
             kern = functools.partial(_kernel_roll_ff, K=K, group=group,
                                      interpret=interpret)
             return pl.pallas_call(
