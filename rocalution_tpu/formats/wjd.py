@@ -406,7 +406,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     win = 1 << wlog
     nj = win // 128 + 1
     group = _auto_group(K)
-    if kernel_mode == "roll" and int(m) * 4 > X_VMEM_BUDGET:
+    if int(m) * 4 > X_VMEM_BUDGET:
         group = _auto_group_windowed(K)   # HBM-x windowed regime
     T = max(1, -(-n // TILE))
     Tp = -(-T // group) * group
@@ -459,30 +459,29 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
 
         max_brow = int(brow_arr.max())
 
-        win_base = None
-        win_rows = 0
-        if kernel_mode == "roll":
-            # Per-grid-step x windows (HBM-x kernel variant): window base =
-            # min REAL brow in the step; EMPTY slots (brow left 0 at
-            # scatter) are re-based to that minimum so their harmless loads
-            # stay inside the step's window. win_rows covers the deepest
-            # load (brow + (du>>7) + 16 with du>>7 <= 1 -> +17 rows).
-            nsteps = Tp // group
-            real = np.zeros((Tp, K), dtype=bool)
-            real[slot_t, k_of_slot] = True
-            b3 = brow_arr.reshape(nsteps, group, K)
-            r3 = real.reshape(nsteps, group, K)
-            BIG = np.int64(1) << 40
-            bmin = np.where(r3, b3, BIG).reshape(nsteps, -1).min(axis=1)
-            bsup = np.where(r3, b3, -1).reshape(nsteps, -1).max(axis=1)
-            empty_step = bmin >= BIG
-            bmin = np.where(empty_step, 0, bmin)
-            bsup = np.maximum(bsup, bmin)
-            brow_arr = np.where(
-                r3, b3, bmin[:, None, None]).reshape(Tp, K)
-            win_base = bmin.astype(np.int32)
-            win_rows = int((bsup - bmin).max()) + 18
-            win_rows = -(-win_rows // 8) * 8 + 8
+        # Per-grid-step x windows (HBM-x kernel variants, BOTH modes):
+        # window base = min REAL brow in the step; EMPTY slots (brow left
+        # 0 at scatter) are re-based to that minimum so their harmless
+        # loads stay inside the step's window. win_rows covers the
+        # deepest load (+17 rows for roll's 16-row load at brow+(du>>7);
+        # _load_rows(nj) for gather).
+        nsteps = Tp // group
+        real = np.zeros((Tp, K), dtype=bool)
+        real[slot_t, k_of_slot] = True
+        b3 = brow_arr.reshape(nsteps, group, K)
+        r3 = real.reshape(nsteps, group, K)
+        BIG = np.int64(1) << 40
+        bmin = np.where(r3, b3, BIG).reshape(nsteps, -1).min(axis=1)
+        bsup = np.where(r3, b3, -1).reshape(nsteps, -1).max(axis=1)
+        empty_step = bmin >= BIG
+        bmin = np.where(empty_step, 0, bmin)
+        bsup = np.maximum(bsup, bmin)
+        brow_arr = np.where(
+            r3, b3, bmin[:, None, None]).reshape(Tp, K)
+        win_base = bmin.astype(np.int32)
+        load_need_w = _load_rows(nj) + (8 if kernel_mode == "roll" else 0)
+        win_rows = int((bsup - bmin).max()) + load_need_w
+        win_rows = -(-win_rows // 8) * 8 + 8
     else:
         pad_lo = 0
         max_brow = 0

@@ -30,8 +30,9 @@ import numpy as np
 # bump when the plan layout / WJD field semantics change
 # (v2: roll-kernel 16-row loads need 8 more rows of x padding;
 #  v3: per-step win_base/win_rows for the HBM-x roll variant;
-#  v4: windowed-regime group sizing)
-PLAN_VERSION = 4
+#  v4: windowed-regime group sizing;
+#  v5: gather-mode windows + unified win_rows formula)
+PLAN_VERSION = 5
 
 _ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u", "win_base",
                  "spill_row", "spill_col", "spill_val")

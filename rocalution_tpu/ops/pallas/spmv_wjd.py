@@ -299,12 +299,77 @@ def _kernel_roll_hbm(brow_ref, diag_ref, wb_ref, wbn_ref, x_hbm, val_ref,
         compute(xw1)
 
 
-# x planes above this stay in HBM and are windowed per grid step (roll
-# mode only); below it the whole plane lives in VMEM for the call, which
-# is faster (no per-step copy) and always fits the scoped-VMEM budget
-# (single source of truth in formats/wjd.py — the planner picks the
-# windowed-regime group size from the same threshold)
+# x planes above this stay in HBM and are windowed per grid step; below
+# it the whole plane lives in VMEM for the call, which is faster (no
+# per-step copy) and always fits the scoped-VMEM budget (single source of
+# truth in formats/wjd.py — the planner picks the windowed-regime group
+# size from the same threshold)
 _X_VMEM_BUDGET = X_VMEM_BUDGET
+
+
+def _kernel_hbm(brow_ref, diag_ref, wb_ref, wbn_ref, x_hbm, val_ref,
+                u_ref, y_ref, xw0, xw1, sem0, sem1, *,
+                K, group, nj, win_rows):
+    """Gather-mode SpMV with x in HBM and double-buffered per-step windows
+    (same scaffold as _kernel_roll_hbm; slot body as in _kernel). Serves
+    beyond-VMEM operators whose slots are NOT single diagonals — e.g. AMG
+    restriction R at multi-million fine columns."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    acc_dtype = y_ref.dtype
+    rows = _load_rows(nj)
+    wb = wb_ref[0, 0, 0]
+    wbn = wbn_ref[0, 0, 0]
+
+    def compute(xwin):
+        for g in range(group):
+            def slot(k, acc, g=g):
+                base = brow_ref[0, g, k] - wb
+                dl = lane + u_ref[g, k].astype(jnp.int32)
+                c = dl & 127
+                j = dl >> 7
+                win = xwin[pl.ds(base, rows), :]
+                gat = _window_gather(win, c, j, nj)
+                v = val_ref[g, k]
+                if v.dtype != acc_dtype:
+                    v = v.astype(acc_dtype)
+                return acc + v * gat
+
+            y_ref[g] = _unrolled_slots(
+                K, slot, jnp.zeros((8, 128), acc_dtype))
+
+    def own_copy(buf, sem):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wb, win_rows), :], buf, sem)
+
+    def next_copy(buf, sem):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(wbn, win_rows), :], buf, sem)
+
+    @pl.when(step == 0)
+    def _():
+        own_copy(xw0, sem0).start()
+
+    @pl.when(step % 2 == 0)
+    def _():
+        own_copy(xw0, sem0).wait()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            next_copy(xw1, sem1).start()
+
+        compute(xw0)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        own_copy(xw1, sem1).wait()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            next_copy(xw0, sem0).start()
+
+        compute(xw1)
 
 
 def _kernel_roll_ff_hbm(brow_ref, diag_ref, wb_ref, one_ref, xh_hbm,
@@ -505,6 +570,32 @@ def _wjd_apply_32(A: WJD, xp2d, interpret):
             out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
             interpret=interpret,
         )(_steps3(A), _steps3(A, True), xp2d, A.data)
+    if (not interpret and A.win_base is not None
+            and xp2d.size * xp2d.dtype.itemsize > _X_VMEM_BUDGET):
+        nsteps = Tp // group
+        wb_spec = pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.SMEM)
+        wbn_spec = pl.BlockSpec(
+            (1, 1, 1),
+            lambda i, *_: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
+            memory_space=pltpu.SMEM)
+        kern = functools.partial(_kernel_hbm, K=K, group=group, nj=A.nj,
+                                 win_rows=A.win_rows)
+        wb3 = A.win_base.reshape(nsteps, 1, 1)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[scal_spec, scal_spec, wb_spec, wbn_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY)]
+            + [slot_spec, slot_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Tp, 8, 128), acc_dt),
+            scratch_shapes=[pltpu.VMEM((A.win_rows, 128), xp2d.dtype),
+                            pltpu.VMEM((A.win_rows, 128), xp2d.dtype),
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(_steps3(A), _steps3(A, True), wb3, wb3, xp2d, A.data, A.uloc)
     kern = functools.partial(_kernel, K=K, group=group, nj=A.nj)
     y = pl.pallas_call(
         kern,

@@ -134,13 +134,13 @@ def _wjd_fits(W) -> bool:
     # (scoped limit ~16 MiB) EXCEPT the roll variant with per-step windows
     # (win_base), which keeps x in HBM and needs only win_rows*512 B
     xp_bytes = int(W.xp_len) * 4
-    windowed = W.kernel_mode == "roll" and W.win_base is not None
     if W.data_lo is not None:              # float-float: two planes
-        if windowed:
+        # the windowed ff kernel exists for roll mode only
+        if W.kernel_mode == "roll" and W.win_base is not None:
             return (2 * xp_bytes <= _X_VMEM_BUDGET
                     or 2 * int(W.win_rows) * 512 <= _X_VMEM_BUDGET)
         return 2 * xp_bytes <= _X_VMEM_BUDGET
-    if windowed:
+    if W.win_base is not None:             # windowed (roll AND gather)
         return (xp_bytes <= _X_VMEM_BUDGET
                 or int(W.win_rows) * 512 <= _X_VMEM_BUDGET)
     return xp_bytes <= _X_VMEM_BUDGET

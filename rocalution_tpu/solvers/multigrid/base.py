@@ -276,10 +276,17 @@ def convert_hierarchy(h: Hierarchy, fmt: str = "auto",
         A = cast(lv.A)
         if fmt in ("auto", "DIA") and not isinstance(A, DIA) and hasattr(
                 A, "numpy_triplet"):
+            from ...formats.wjd import X_VMEM_BUDGET
+
+            # beyond-VMEM operators stay CSR: their WJD fast apply windows
+            # x from HBM (768 GB/s measured at 16.7M), while DIA data at
+            # this size must ride as jit arguments — measured ~10x slower
+            # than as closure constants (bench.py dia note)
+            big = A.shape[1] * 4 > X_VMEM_BUDGET
             idx = get_host(A, "indices").astype(np.int64)
             rows = get_host(A, "row_ids").astype(np.int64)
             ndiag = len(np.unique(idx - rows))
-            if fmt == "DIA" or ndiag <= max_diags:
+            if fmt == "DIA" or (ndiag <= max_diags and not big):
                 A = convert(A, "DIA")
         new_levels.append(MGLevel(
             A=A, P=cast(lv.P), R=cast(lv.R),
