@@ -134,15 +134,21 @@ def _wjd_fits(W) -> bool:
     # (scoped limit ~16 MiB) EXCEPT the roll variant with per-step windows
     # (win_base), which keeps x in HBM and needs only win_rows*512 B
     xp_bytes = int(W.xp_len) * 4
+    # the windowed kernels hold TWO (win_rows, 128) f32 buffers (double
+    # buffering; the ff variant holds one window per plane — same total):
+    # one outlier step with scattered slots can blow win_rows past the
+    # scoped budget (seen at a 119k x 2M restriction: 17k-row windows),
+    # in which case the operator falls back to the XLA path
+    win_bytes = 2 * int(W.win_rows) * 512
     if W.data_lo is not None:              # float-float: two planes
         # the windowed ff kernel exists for roll mode only
         if W.kernel_mode == "roll" and W.win_base is not None:
             return (2 * xp_bytes <= _X_VMEM_BUDGET
-                    or 2 * int(W.win_rows) * 512 <= _X_VMEM_BUDGET)
+                    or win_bytes <= _X_VMEM_BUDGET)
         return 2 * xp_bytes <= _X_VMEM_BUDGET
     if W.win_base is not None:             # windowed (roll AND gather)
         return (xp_bytes <= _X_VMEM_BUDGET
-                or int(W.win_rows) * 512 <= _X_VMEM_BUDGET)
+                or win_bytes <= _X_VMEM_BUDGET)
     return xp_bytes <= _X_VMEM_BUDGET
 
 
