@@ -14,10 +14,13 @@ Measured (TPU v5e, single chip, N=128, round 4): 4 levels
 iteration — was ~330 in round 3, before transfers were WJD-served),
 10.2 s host setup (was ~40 s), rms error 1e-6.
 
-N=256 (16.7M unknowns): the distributed-setup route is the one that
-scales — see `poisson3d_dist.py` (per-part blocks, the global operator is
-never assembled; captured 8-part run: 11 iterations, rms 1.75e-6 —
-BASELINE.md "256³ scale row").
+N=256 (16.7M unknowns, single chip, captured): 5 levels
+16.7M->2.03M->119k->4.7k->165, 14 CG iterations, 9.2 s solve, 115 s
+setup, rms err 1.7e-6 — the fine level and P ride the windowed HBM-x
+WJD kernels; transfer operators whose windows exceed the scoped-VMEM
+budget fall back to XLA (the fit gate decides per operator). The
+distributed route (`poisson3d_dist.py`) remains the scaling answer
+across chips (8-part run: 11 iterations, rms 1.75e-6).
 """
 
 import os
