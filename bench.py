@@ -108,6 +108,10 @@ def main():
     global T_START
     t0 = time.perf_counter()
     float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+    # one-time module import (~1 s of pure Python) — pay it here, not
+    # inside the first section that touches the kernel layer (it was
+    # ~40% of cg_ic0_65k_analyze_ms in BENCH_r04)
+    from rocalution_tpu.ops.pallas import spmv_wjd  # noqa: F401
     warm = time.perf_counter() - t0
     log(f"tunnel warmup: {warm:.1f}s (budget clock starts now)")
     T_START = time.monotonic()

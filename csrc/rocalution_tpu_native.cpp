@@ -366,3 +366,311 @@ int rt_mtx_body(const char* path, int64_t header_offset, int64_t nnz,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Setup-phase sparse algebra: fused SA-Galerkin + generic SpGEMM.
+//
+// Reference parity: the device csrgemm / rsamg setup kernels
+// (src/base/hip/hip_matrix_csr.cpp MatMatMult, hip_rsamg_csr.cpp) — the
+// reference builds AMG levels entirely with accelerator kernels. Here the
+// setup is host graph work (SURVEY §7: TPU/XLA cannot run dynamic-shape
+// symbolic passes), so the analog is an optimized native layer: Gustavson
+// row-merge with stamped accumulators, two worker threads (this host has
+// two cores), growable per-thread output buffers stitched once.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace rt_internal {
+
+struct HalfOut {
+    std::vector<int32_t> col;
+    std::vector<double> val;
+};
+
+// Gustavson rows [r0,r1) of C = A(n x k) @ B(k x m); cnt[i] = nnz of row i.
+static void spgemm_rows(int64_t r0, int64_t r1, int64_t m,
+                        const int64_t* ap, const int32_t* ac,
+                        const double* av, const int64_t* bp,
+                        const int32_t* bc, const double* bv,
+                        int64_t* cnt, HalfOut* out) {
+    std::vector<double> acc((size_t)m, 0.0);
+    std::vector<int64_t> stamp((size_t)m, -1);
+    std::vector<int32_t> touched;
+    touched.reserve(512);
+    for (int64_t i = r0; i < r1; ++i) {
+        touched.clear();
+        for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+            const int32_t j = ac[p];
+            const double v = av[p];
+            for (int64_t q = bp[j]; q < bp[j + 1]; ++q) {
+                const int32_t c = bc[q];
+                if (stamp[c] != i) {
+                    stamp[c] = i;
+                    acc[c] = v * bv[q];
+                    touched.push_back(c);
+                } else {
+                    acc[c] += v * bv[q];
+                }
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+        cnt[i] = (int64_t)touched.size();
+        for (int32_t c : touched) {
+            out->col.push_back(c);
+            out->val.push_back(acc[c]);
+        }
+    }
+}
+
+// Stitch per-thread halves into one malloc'd CSR triplet.
+static int64_t stitch(int64_t n, const std::vector<int64_t>& cnt,
+                      const HalfOut* halves, int nh, int64_t** cp,
+                      int32_t** cc, double** cv) {
+    int64_t* ptr = (int64_t*)std::malloc((size_t)(n + 1) * sizeof(int64_t));
+    ptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) ptr[i + 1] = ptr[i] + cnt[i];
+    const int64_t nnz = ptr[n];
+    int32_t* col = (int32_t*)std::malloc((size_t)nnz * sizeof(int32_t));
+    double* val = (double*)std::malloc((size_t)nnz * sizeof(double));
+    int64_t off = 0;
+    for (int h = 0; h < nh; ++h) {
+        const int64_t sz = (int64_t)halves[h].col.size();
+        if (sz) {
+            std::memcpy(col + off, halves[h].col.data(),
+                        (size_t)sz * sizeof(int32_t));
+            std::memcpy(val + off, halves[h].val.data(),
+                        (size_t)sz * sizeof(double));
+        }
+        off += sz;
+    }
+    *cp = ptr;
+    *cc = col;
+    *cv = val;
+    return nnz;
+}
+
+static int64_t spgemm(int64_t n, int64_t m, const int64_t* ap,
+                      const int32_t* ac, const double* av, const int64_t* bp,
+                      const int32_t* bc, const double* bv, int64_t** cp,
+                      int32_t** cc, double** cv) {
+    std::vector<int64_t> cnt((size_t)n, 0);
+    HalfOut halves[2];
+    const int64_t mid = n / 2;
+    if (n >= 4096) {
+        std::thread t0(spgemm_rows, 0, mid, m, ap, ac, av, bp, bc, bv,
+                       cnt.data(), &halves[0]);
+        spgemm_rows(mid, n, m, ap, ac, av, bp, bc, bv, cnt.data(),
+                    &halves[1]);
+        t0.join();
+    } else {
+        spgemm_rows(0, n, m, ap, ac, av, bp, bc, bv, cnt.data(), &halves[0]);
+    }
+    return stitch(n, cnt, halves, 2, cp, cc, cv);
+}
+
+// P rows [r0,r1) of the smoothed prolongation P = (I - w D^-1 A_f) T:
+// strength filter + lumping + column relabel through agg with dedup.
+static void sa_p_rows(int64_t r0, int64_t r1, const int64_t* ap,
+                      const int32_t* ac, const double* av, const double* dval,
+                      const double* dabs, const int64_t* agg, int64_t n_agg,
+                      double eps2, double omega, int lump, int64_t* cnt,
+                      HalfOut* out) {
+    std::vector<double> acc((size_t)n_agg, 0.0);
+    std::vector<int64_t> stamp((size_t)n_agg, -1);
+    std::vector<int32_t> touched;
+    touched.reserve(64);
+    for (int64_t i = r0; i < r1; ++i) {
+        touched.clear();
+        double lump_i = 0.0;
+        const double di_abs = dabs[i];
+        for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+            const int32_t j = ac[p];
+            if (j == i) continue;
+            const double v = av[p];
+            if (v * v < eps2 * di_abs * dabs[j]) lump_i += v;
+        }
+        const double afd = dval[i] + (lump ? lump_i : 0.0);
+        const double invd = (afd != 0.0) ? 1.0 / afd : 1.0;
+        auto push = [&](int64_t c, double x) {
+            if (stamp[c] != i) {
+                stamp[c] = i;
+                acc[c] = x;
+                touched.push_back((int32_t)c);
+            } else {
+                acc[c] += x;
+            }
+        };
+        push(agg[i], 1.0 - omega * invd * afd);
+        for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+            const int32_t j = ac[p];
+            if (j == i) continue;
+            const double v = av[p];
+            if (v * v >= eps2 * di_abs * dabs[j]) {
+                push(agg[j], -omega * invd * v);
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+        int64_t kept = 0;
+        for (int32_t c : touched) {
+            if (acc[c] != 0.0) {  // eliminate exact zeros (scipy parity)
+                out->col.push_back(c);
+                out->val.push_back(acc[c]);
+                ++kept;
+            }
+        }
+        cnt[i] = kept;
+    }
+}
+
+}  // namespace rt_internal
+
+extern "C" {
+
+void rt_free(void* p) { std::free(p); }
+
+// C = A(n x k) @ B(k x m); outputs malloc'd (caller frees via rt_free).
+// Returns nnz(C), or -1 on allocation failure.
+int64_t rt_spgemm_csr(int64_t n, int64_t m, const int64_t* ap,
+                      const int32_t* ac, const double* av, const int64_t* bp,
+                      const int32_t* bc, const double* bv, int64_t** cp,
+                      int32_t** cc, double** cv) {
+    return rt_internal::spgemm(n, m, ap, ac, av, bp, bc, bv, cp, cc, cv);
+}
+
+// Fused smoothed-aggregation Galerkin build from the fine operator and an
+// aggregate map: emits P = (I - w D^-1 A_f) T, R = P^T and Ac = R A P.
+// out_nnz[0..2] = nnz(P), nnz(R), nnz(Ac). All outputs malloc'd.
+int64_t rt_sa_galerkin(int64_t n, const int64_t* ap, const int32_t* ac,
+                       const double* av, const int64_t* agg, int64_t n_agg,
+                       double eps, double omega, int lump, int64_t** pp,
+                       int32_t** pc, double** pv, int64_t** rp, int32_t** rc,
+                       double** rv, int64_t** gp, int32_t** gc, double** gv,
+                       int64_t* out_nnz) {
+    using namespace rt_internal;
+    // diagonal pass
+    std::vector<double> dval((size_t)n, 0.0), dabs((size_t)n, 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+            if (ac[p] == i) {
+                dval[i] = av[p];
+                dabs[i] = std::fabs(av[p]);
+                break;
+            }
+        }
+    }
+    const double eps2 = eps * eps;
+    // P (threaded)
+    std::vector<int64_t> pcnt((size_t)n, 0);
+    HalfOut ph[2];
+    const int64_t mid = n / 2;
+    if (n >= 4096) {
+        std::thread t0(sa_p_rows, 0, mid, ap, ac, av, dval.data(),
+                       dabs.data(), agg, n_agg, eps2, omega, lump,
+                       pcnt.data(), &ph[0]);
+        sa_p_rows(mid, n, ap, ac, av, dval.data(), dabs.data(), agg, n_agg,
+                  eps2, omega, lump, pcnt.data(), &ph[1]);
+        t0.join();
+    } else {
+        sa_p_rows(0, n, ap, ac, av, dval.data(), dabs.data(), agg, n_agg,
+                  eps2, omega, lump, pcnt.data(), &ph[0]);
+    }
+    const int64_t pnnz = stitch(n, pcnt, ph, 2, pp, pc, pv);
+    out_nnz[0] = pnnz;
+
+    // R = P^T by counting sort (rows come out sorted by fine index)
+    int64_t* rptr = (int64_t*)std::malloc((size_t)(n_agg + 1) * sizeof(int64_t));
+    int32_t* rcol = (int32_t*)std::malloc((size_t)pnnz * sizeof(int32_t));
+    double* rval = (double*)std::malloc((size_t)pnnz * sizeof(double));
+    std::memset(rptr, 0, (size_t)(n_agg + 1) * sizeof(int64_t));
+    const int64_t* pptr = *pp;
+    const int32_t* pcol = *pc;
+    const double* pval = *pv;
+    for (int64_t e = 0; e < pnnz; ++e) rptr[pcol[e] + 1]++;
+    for (int64_t c = 0; c < n_agg; ++c) rptr[c + 1] += rptr[c];
+    std::vector<int64_t> wpos(rptr, rptr + n_agg);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t p = pptr[i]; p < pptr[i + 1]; ++p) {
+            const int64_t d = wpos[pcol[p]]++;
+            rcol[d] = (int32_t)i;
+            rval[d] = pval[p];
+        }
+    }
+    *rp = rptr;
+    *rc = rcol;
+    *rv = rval;
+    out_nnz[1] = pnnz;
+
+    // Ac = (R @ A) @ P
+    int64_t *tp, *gp2;
+    int32_t *tc, *gc2;
+    double *tv, *gv2;
+    spgemm(n_agg, n, rptr, rcol, rval, ap, ac, av, &tp, &tc, &tv);
+    const int64_t gnnz =
+        spgemm(n_agg, n_agg, tp, tc, tv, pptr, pcol, pval, &gp2, &gc2, &gv2);
+    std::free(tp);
+    std::free(tc);
+    std::free(tv);
+    *gp = gp2;
+    *gc = gc2;
+    *gv = gv2;
+    out_nnz[2] = gnnz;
+    return 0;
+}
+
+// Strength graph (pattern only): keep off-diagonal |a_ij|^2 >= eps^2 |a_ii a_jj|.
+// Outputs malloc'd pattern CSR (cols only). Returns nnz.
+int64_t rt_strength_graph(int64_t n, const int64_t* ap, const int32_t* ac,
+                          const double* av, double eps, int64_t** sp_,
+                          int32_t** sc_) {
+    std::vector<double> dabs((size_t)n, 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+            if (ac[p] == i) {
+                dabs[i] = std::fabs(av[p]);
+                break;
+            }
+        }
+    }
+    const double eps2 = eps * eps;
+    int64_t* sptr = (int64_t*)std::malloc((size_t)(n + 1) * sizeof(int64_t));
+    sptr[0] = 0;
+    auto strong_count = [&](int64_t r0, int64_t r1) {
+        for (int64_t i = r0; i < r1; ++i) {
+            int64_t cnt = 0;
+            for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+                const int32_t j = ac[p];
+                if (j != i && av[p] * av[p] >= eps2 * dabs[i] * dabs[j]) ++cnt;
+            }
+            sptr[i + 1] = cnt;
+        }
+    };
+    {
+        std::thread t0(strong_count, 0, n / 2);
+        strong_count(n / 2, n);
+        t0.join();
+    }
+    for (int64_t i = 0; i < n; ++i) sptr[i + 1] += sptr[i];
+    const int64_t nnz = sptr[n];
+    int32_t* scol = (int32_t*)std::malloc((size_t)nnz * sizeof(int32_t));
+    auto strong_fill = [&](int64_t r0, int64_t r1) {
+        for (int64_t i = r0; i < r1; ++i) {
+            int64_t w = sptr[i];
+            for (int64_t p = ap[i]; p < ap[i + 1]; ++p) {
+                const int32_t j = ac[p];
+                if (j != i && av[p] * av[p] >= eps2 * dabs[i] * dabs[j])
+                    scol[w++] = j;
+            }
+        }
+    };
+    {
+        std::thread t0(strong_fill, 0, n / 2);
+        strong_fill(n / 2, n);
+        t0.join();
+    }
+    *sp_ = sptr;
+    *sc_ = scol;
+    return nnz;
+}
+
+}  // extern "C"

@@ -72,18 +72,24 @@ class CSR(MatrixBase):
                 shape=(int(shape[0]), int(shape[1])),
             )
         if host_side:
+            # cache arrays in their NATIVE dtypes (no astype copies):
+            # every consumer either astypes on access (numpy_triplet,
+            # numpy_rows) or is dtype-agnostic; the eager int64 copies
+            # cost ~2.5 s per AMG level at 2.1M unknowns (profiled).
             set_host_cache(
                 out,
                 data=np.asarray(data),
-                indices=np.asarray(indices, dtype=np.int64),
-                indptr=np.asarray(indptr, dtype=np.int64),
-                row_ids=row_ids_np.astype(np.int64),
+                indices=np.asarray(indices),
+                indptr=ip,
+                row_ids=row_ids_np,
             )
         return out
 
     @staticmethod
-    def from_coo(rows, cols, vals, shape, sum_duplicates: bool = True) -> "CSR":
-        """Host-side build from COO triplets (sorts by (row, col))."""
+    def from_coo(rows, cols, vals, shape, sum_duplicates: bool = True,
+                 device: bool = True) -> "CSR":
+        """Host-side build from COO triplets (sorts by (row, col)).
+        ``device=False`` keeps leaves host-resident (see from_arrays)."""
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
@@ -103,7 +109,7 @@ class CSR(MatrixBase):
         indptr = np.zeros(nrow + 1, dtype=np.int64)
         np.add.at(indptr, rows + 1, 1)
         indptr = np.cumsum(indptr)
-        return CSR.from_arrays(vals, cols, indptr, shape)
+        return CSR.from_arrays(vals, cols, indptr, shape, device=device)
 
     @staticmethod
     def from_dense(dense) -> "CSR":
@@ -115,12 +121,13 @@ class CSR(MatrixBase):
         out = jnp.zeros(self.shape, dtype=self.data.dtype)
         return out.at[self.row_ids, self.indices].add(self.data)
 
-    def transpose_host(self) -> "CSR":
+    def transpose_host(self, device: bool = True) -> "CSR":
         """Host-side transpose (setup phase; analog LocalMatrix::Transpose)."""
         rows = get_host(self, "row_ids")
         cols = get_host(self, "indices")
         vals = get_host(self, "data")
-        return CSR.from_coo(cols, rows, vals, (self.shape[1], self.shape[0]))
+        return CSR.from_coo(cols, rows, vals, (self.shape[1], self.shape[0]),
+                            device=device)
 
     def numpy_triplet(self):
         """Host CSR triplet; uses the host cache (no device read if built on

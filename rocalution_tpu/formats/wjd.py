@@ -487,6 +487,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         max_brow = 0
         win_base = None
         win_rows = 0
+        real = np.zeros((Tp, K), dtype=bool)
 
     # padded x must cover the deepest window load: rows [brow, brow+load_rows)
     # (roll kernel: one 16-row load at brow + (du>>7) with du>>7 <= 1 -> 17
@@ -521,6 +522,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         diag_u=diag_arr,
         win_base=win_base,
         win_rows=int(win_rows),
+        real=real,
         spill_row=np.asarray(sr, dtype=np.int32),
         spill_col=np.asarray(sc, dtype=np.int32),
         spill_val=np.asarray(sv),
@@ -619,7 +621,12 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     P = len(ws)
     n, m = int(shape[0]), int(shape[1])
     K = max(w["brow"].shape[1] for w in ws)
-    group = _auto_group(K)
+    # beyond-VMEM per-shard x planes take the HBM-x windowed kernels, whose
+    # group sizing amortizes the per-step window DMA (round-4 weakness 4:
+    # stack_wjd never set win_base, so >~3M-row shards fell off the fast
+    # path exactly where multi-chip is supposed to take over)
+    windowed = int(m) * 4 > X_VMEM_BUDGET
+    group = _auto_group_windowed(K) if windowed else _auto_group(K)
     T = max(1, -(-n // TILE))
     Tp = -(-T // group) * group
     pad_lo = -(-max(w["pad_lo"] for w in ws) // 128) * 128
@@ -643,7 +650,8 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     data = alloc((Tp, K, 8, 128), vdtype)
     dlo = alloc((Tp, K, 8, 128), vdtype) if ff else None
     uloc = alloc((Tp, K, 8, 128), ws[0]["uloc"].dtype)
-    brow = alloc((Tp, K), np.int32)
+    brow = alloc((Tp, K), np.int64)
+    real = alloc((Tp, K), bool)
     # roll mode reads diag_u unconditionally: pad slots must be 0, not -1
     diag = alloc((Tp, K), np.int32, fill=(0 if kmode == "roll" else -1))
     sr = alloc((nspill,), np.int32)
@@ -659,6 +667,7 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
         uloc[q, :tq, :kq] = w["uloc"][:tq]
         brow[q, :tq, :kq] = (w["brow"][:tq]
                              + (pad_lo - w["pad_lo"]) // 128)
+        real[q, :tq, :kq] = w["real"][:tq]
         diag[q, :tq, :kq] = w["diag_u"][:tq]
         ns = w["spill_row"].shape[0]
         if ns:
@@ -666,12 +675,37 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
             sc[q, :ns] = w["spill_col"]
             sv[q, :ns] = w["spill_val"]
 
+    # per-step window fields on the UNIFIED grouping (each part's plan used
+    # its own group/Tp, so its per-plan windows do not transfer): window
+    # base = min real brow in the step; non-real slots re-based onto it so
+    # their harmless loads stay inside the window; win_rows is the max
+    # span over ALL parts (one kernel shape inside shard_map)
+    win_base = None
+    win_rows = 0
+    if windowed:
+        nsteps = Tp // group
+        b3 = brow.reshape(P, nsteps, group * K)
+        r3 = real.reshape(P, nsteps, group * K)
+        BIG = np.int64(1) << 40
+        bmin = np.where(r3, b3, BIG).min(axis=2)
+        bsup = np.where(r3, b3, -1).max(axis=2)
+        empty = bmin >= BIG
+        bmin = np.where(empty, 0, bmin)
+        bsup = np.maximum(bsup, bmin)
+        brow = np.where(r3, b3, bmin[:, :, None]).reshape(P, Tp, K)
+        win_base = bmin.astype(np.int32)
+        win_rows = int((bsup - bmin).max()) + load_need
+        win_rows = -(-win_rows // 8) * 8 + 8
+        xp_len = max(xp_len, (int(win_base.max()) + win_rows) * 128)
+
     return WJD(
         data=jnp.asarray(data),
         data_lo=None if dlo is None else jnp.asarray(dlo),
         uloc=jnp.asarray(uloc),
-        brow=jnp.asarray(brow),
+        brow=jnp.asarray(brow.astype(np.int32)),
         diag_u=jnp.asarray(diag),
+        win_base=None if win_base is None else jnp.asarray(win_base),
+        win_rows=int(win_rows),
         spill_row=jnp.asarray(sr),
         spill_col=jnp.asarray(sc),
         spill_val=jnp.asarray(sv),
@@ -697,4 +731,5 @@ def shard_of(W: WJD, q: int = 0) -> WJD:
         spill_row=W.spill_row[q], spill_col=W.spill_col[q],
         spill_val=W.spill_val[q],
         data_lo=None if W.data_lo is None else W.data_lo[q],
+        win_base=None if W.win_base is None else W.win_base[q],
     )

@@ -31,11 +31,12 @@ import numpy as np
 # (v2: roll-kernel 16-row loads need 8 more rows of x padding;
 #  v3: per-step win_base/win_rows for the HBM-x roll variant;
 #  v4: windowed-regime group sizing;
-#  v5: gather-mode windows + unified win_rows formula)
-PLAN_VERSION = 5
+#  v5: gather-mode windows + unified win_rows formula;
+#  v6: plans carry the real-slot mask so stack_wjd can re-derive windows)
+PLAN_VERSION = 6
 
 _ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u", "win_base",
-                 "spill_row", "spill_col", "spill_val")
+                 "real", "spill_row", "spill_col", "spill_val")
 _STATIC_FIELDS = ("shape", "pad_lo", "xp_len", "nnz", "group", "wlog",
                   "win_rows", "value_dtype", "kernel_mode")
 

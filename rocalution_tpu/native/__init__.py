@@ -84,6 +84,26 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.rt_rs_coarsening.argtypes = [
         ctypes.c_int64, i64p, i32p, i64p, i32p, ctypes.c_int, i8p,
     ]
+    i64pp = ctypes.POINTER(i64p)
+    i32pp = ctypes.POINTER(i32p)
+    f64pp = ctypes.POINTER(f64p)
+    lib.rt_free.restype = None
+    lib.rt_free.argtypes = [ctypes.c_void_p]
+    lib.rt_spgemm_csr.restype = ctypes.c_int64
+    lib.rt_spgemm_csr.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i32p, f64p, i64p, i32p, f64p,
+        i64pp, i32pp, f64pp,
+    ]
+    lib.rt_sa_galerkin.restype = ctypes.c_int64
+    lib.rt_sa_galerkin.argtypes = [
+        ctypes.c_int64, i64p, i32p, f64p, i64p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        i64pp, i32pp, f64pp, i64pp, i32pp, f64pp, i64pp, i32pp, f64pp, i64p,
+    ]
+    lib.rt_strength_graph.restype = ctypes.c_int64
+    lib.rt_strength_graph.argtypes = [
+        ctypes.c_int64, i64p, i32p, f64p, ctypes.c_double, i64pp, i32pp,
+    ]
     return lib
 
 
@@ -234,3 +254,96 @@ def mtx_body(path: str, header_offset: int, nnz: int,
     if rc != 0:
         raise IOError(f"mtx body parse failed ({rc}) for {path}")
     return rows, cols, re, im
+
+
+def _take(cptr, n, nptype):
+    """Copy a callee-malloc'd buffer into a numpy array and free it."""
+    lib = get_lib()
+    out = np.empty(int(n), nptype)
+    if n:
+        ctypes.memmove(out.ctypes.data, cptr, int(n) * out.itemsize)
+    lib.rt_free(cptr)
+    return out
+
+
+def _csr_args(indptr, indices, data):
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    return (indptr, indices, data,
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+            _ptr(data, ctypes.c_double))
+
+
+def spgemm(a_indptr, a_indices, a_data, b_indptr, b_indices, b_data,
+           ncols: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C = A @ B on host CSR triplets (native two-thread Gustavson, sorted
+    rows — the reference's csrgemm analog). Returns (indptr, indices, data)
+    of C with `len(a_indptr)-1` rows and `ncols` columns."""
+    lib = get_lib()
+    n = len(a_indptr) - 1
+    ah = _csr_args(a_indptr, a_indices, a_data)
+    bh = _csr_args(b_indptr, b_indices, b_data)
+    cp = ctypes.POINTER(ctypes.c_int64)()
+    cc = ctypes.POINTER(ctypes.c_int32)()
+    cv = ctypes.POINTER(ctypes.c_double)()
+    nnz = lib.rt_spgemm_csr(n, int(ncols), *ah[3:], *bh[3:],
+                            ctypes.byref(cp), ctypes.byref(cc),
+                            ctypes.byref(cv))
+    ptr = _take(cp, n + 1, np.int64)
+    col = _take(cc, nnz, np.int32)
+    val = _take(cv, nnz, np.float64)
+    return ptr, col, val
+
+
+def sa_galerkin(indptr, indices, data, agg, n_agg: int, eps: float,
+                omega: float, lumping: bool):
+    """Fused smoothed-aggregation level build: P = (I - w D^-1 A_f) T,
+    R = P^T, Ac = R A P, all in one native call (analog of the reference's
+    device SA setup kernels, hip_matrix_csr.cpp AMGSmoothedAggregation +
+    MatMatMult). Returns ((p_ptr,p_col,p_val), (r_ptr,r_col,r_val),
+    (c_ptr,c_col,c_val))."""
+    lib = get_lib()
+    n = len(indptr) - 1
+    ah = _csr_args(indptr, indices, data)
+    agg = np.ascontiguousarray(agg, np.int64)
+    outs = [ctypes.POINTER(ctypes.c_int64)(),
+            ctypes.POINTER(ctypes.c_int32)(),
+            ctypes.POINTER(ctypes.c_double)(),
+            ctypes.POINTER(ctypes.c_int64)(),
+            ctypes.POINTER(ctypes.c_int32)(),
+            ctypes.POINTER(ctypes.c_double)(),
+            ctypes.POINTER(ctypes.c_int64)(),
+            ctypes.POINTER(ctypes.c_int32)(),
+            ctypes.POINTER(ctypes.c_double)()]
+    nnz3 = np.zeros(3, np.int64)
+    rc = lib.rt_sa_galerkin(
+        n, *ah[3:], _ptr(agg, ctypes.c_int64), int(n_agg), float(eps),
+        float(omega), int(bool(lumping)),
+        *[ctypes.byref(o) for o in outs], _ptr(nnz3, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError(f"rt_sa_galerkin failed ({rc})")
+    P = (_take(outs[0], n + 1, np.int64), _take(outs[1], nnz3[0], np.int32),
+         _take(outs[2], nnz3[0], np.float64))
+    R = (_take(outs[3], n_agg + 1, np.int64),
+         _take(outs[4], nnz3[1], np.int32),
+         _take(outs[5], nnz3[1], np.float64))
+    Ac = (_take(outs[6], n_agg + 1, np.int64),
+          _take(outs[7], nnz3[2], np.int32),
+          _take(outs[8], nnz3[2], np.float64))
+    return P, R, Ac
+
+
+def strength_graph(indptr, indices, data, eps: float):
+    """SA strength pattern |a_ij| >= eps sqrt(|a_ii a_jj|) (off-diagonal
+    only): returns (indptr, indices) of the int-pattern graph."""
+    lib = get_lib()
+    n = len(indptr) - 1
+    ah = _csr_args(indptr, indices, data)
+    sp_ = ctypes.POINTER(ctypes.c_int64)()
+    sc_ = ctypes.POINTER(ctypes.c_int32)()
+    nnz = lib.rt_strength_graph(n, *ah[3:], float(eps), ctypes.byref(sp_),
+                                ctypes.byref(sc_))
+    ptr = _take(sp_, n + 1, np.int64)
+    col = _take(sc_, nnz, np.int32)
+    return ptr, col

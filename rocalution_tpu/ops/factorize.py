@@ -49,11 +49,11 @@ def _split_lu(data, cols, indptr, n, unit_lower=True):
     ld = np.concatenate([data[lower], np.ones(n, data.dtype)])
     lr = np.concatenate([rows[lower], np.arange(n)])
     lc = np.concatenate([cols[lower], np.arange(n)])
-    L = CSR.from_coo(lr, lc, ld, (n, n))
+    L = CSR.from_coo(lr, lc, ld, (n, n), device=False)
     ud = np.concatenate([data[upper], data[diag]])
     ur = np.concatenate([rows[upper], rows[diag]])
     uc = np.concatenate([cols[upper], cols[diag]])
-    U = CSR.from_coo(ur, uc, ud, (n, n))
+    U = CSR.from_coo(ur, uc, ud, (n, n), device=False)
     return L, U
 
 
@@ -126,7 +126,7 @@ def ic0(A: CSR) -> CSR:
         from .. import native
 
         native.ic0_inplace(lptr.astype(np.int64), lc.astype(np.int32), lv)
-        return CSR.from_coo(lr, lc, lv, (n, n))
+        return CSR.from_coo(lr, lc, lv, (n, n), device=False)
 
     for i in range(n):
         rs, re = lptr[i], lptr[i + 1]
@@ -154,7 +154,7 @@ def ic0(A: CSR) -> CSR:
         if val <= 0:
             raise ValueError(f"IC(0) breakdown at row {i} (pivot {val})")
         lv[re - 1] = np.sqrt(val)
-    return CSR.from_coo(lr, lc, lv, (n, n))
+    return CSR.from_coo(lr, lc, lv, (n, n), device=False)
 
 
 def _symbolic_ilup(cols, indptr, n, p):
@@ -235,8 +235,8 @@ def ilut(A: CSR, tol: float = 1e-3, max_fill: int = 32) -> Tuple[CSR, CSR]:
         lr = np.concatenate([lr, np.arange(n)])
         lc = np.concatenate([lc, np.arange(n)])
         lv = np.concatenate([lv, np.ones(n, data.dtype)])
-        L = CSR.from_coo(lr, lc, lv, (n, n))
-        U = CSR.from_coo(ur, uc, uv, (n, n))
+        L = CSR.from_coo(lr, lc, lv, (n, n), device=False)
+        U = CSR.from_coo(ur, uc, uv, (n, n), device=False)
         return L, U
     U_rows = [None] * n   # (cols >= k asc, vals); diag first position
     L_out_r, L_out_c, L_out_v = [], [], []
@@ -284,11 +284,12 @@ def ilut(A: CSR, tol: float = 1e-3, max_fill: int = 32) -> Tuple[CSR, CSR]:
     # assemble L (unit diag) and U
     L_out_r.extend(range(n)); L_out_c.extend(range(n))
     L_out_v.extend([1.0] * n)
-    L = CSR.from_coo(L_out_r, L_out_c, np.asarray(L_out_v, data.dtype), (n, n))
+    L = CSR.from_coo(L_out_r, L_out_c, np.asarray(L_out_v, data.dtype), (n, n),
+                     device=False)
     ur = np.concatenate([np.full(len(U_rows[i][0]), i) for i in range(n)])
     uc = np.concatenate([U_rows[i][0] for i in range(n)])
     uv = np.concatenate([U_rows[i][1] for i in range(n)])
-    U = CSR.from_coo(ur, uc, uv, (n, n))
+    U = CSR.from_coo(ur, uc, uv, (n, n), device=False)
     return L, U
 
 

@@ -372,44 +372,77 @@ def _kernel_hbm(brow_ref, diag_ref, wb_ref, wbn_ref, x_hbm, val_ref,
         compute(xw1)
 
 
-def _kernel_roll_ff_hbm(brow_ref, diag_ref, wb_ref, one_ref, xh_hbm,
-                        xl_hbm, vh_ref, vl_ref, yh_ref, yl_ref,
-                        xhwin, xlwin, semh, seml, *,
+def _kernel_roll_ff_hbm(brow_ref, diag_ref, wb_ref, wbn_ref, one_ref,
+                        xh_hbm, xl_hbm, vh_ref, vl_ref, yh_ref, yl_ref,
+                        xh0, xl0, xh1, xl1, semh0, seml0, semh1, seml1, *,
                         K, group, win_rows, interpret):
-    """Float-float roll SpMV with BOTH x planes in HBM (see
-    _kernel_roll_hbm; arithmetic as in _kernel_ff)."""
+    """Float-float roll SpMV with BOTH x planes in HBM, DOUBLE-BUFFERED
+    like the f32 siblings (round-4 weakness 5: the synchronous start/wait
+    serialized the window DMA with compute): while step i computes from
+    buffer pair i%2, step i+1's hi/lo windows stream into the other pair.
+    Arithmetic as in _kernel_ff."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     one = one_ref[0, 0]
     roll = _roll_fn(interpret)
     wb = wb_ref[0, 0, 0]
+    wbn = wbn_ref[0, 0, 0]
 
-    ch = pltpu.make_async_copy(xh_hbm.at[pl.ds(wb, win_rows), :], xhwin,
-                               semh)
-    cl = pltpu.make_async_copy(xl_hbm.at[pl.ds(wb, win_rows), :], xlwin,
-                               seml)
-    ch.start()
-    cl.start()
-    ch.wait()
-    cl.wait()
+    def compute(xhwin, xlwin):
+        for g in range(group):
+            def slot(k, carry, g=g):
+                acc, accl = carry
+                base = brow_ref[0, g, k] - wb
+                du = diag_ref[0, g, k]
+                gh = _rolled_window(xhwin, base, du, lane, roll)
+                gl = _rolled_window(xlwin, base, du, lane, roll)
+                vh = vh_ref[g, k]
+                vl = vl_ref[g, k]
+                p, e = _two_prod(vh, gh, one)
+                e = e + (vh * gl + vl * gh)
+                acc, err = _two_sum(acc, p)
+                return acc, accl + (err + e)
 
-    for g in range(group):
-        def slot(k, carry, g=g):
-            acc, accl = carry
-            base = brow_ref[0, g, k] - wb
-            du = diag_ref[0, g, k]
-            gh = _rolled_window(xhwin, base, du, lane, roll)
-            gl = _rolled_window(xlwin, base, du, lane, roll)
-            vh = vh_ref[g, k]
-            vl = vl_ref[g, k]
-            p, e = _two_prod(vh, gh, one)
-            e = e + (vh * gl + vl * gh)
-            acc, err = _two_sum(acc, p)
-            return acc, accl + (err + e)
+            zero = jnp.zeros((8, 128), jnp.float32)
+            acc, accl = _unrolled_slots(K, slot, (zero, zero))
+            yh_ref[g] = acc
+            yl_ref[g] = accl
 
-        zero = jnp.zeros((8, 128), jnp.float32)
-        acc, accl = _unrolled_slots(K, slot, (zero, zero))
-        yh_ref[g] = acc
-        yl_ref[g] = accl
+    def copies(base, bh, bl, sh, sl):
+        return (pltpu.make_async_copy(
+                    xh_hbm.at[pl.ds(base, win_rows), :], bh, sh),
+                pltpu.make_async_copy(
+                    xl_hbm.at[pl.ds(base, win_rows), :], bl, sl))
+
+    @pl.when(step == 0)
+    def _():
+        for c in copies(wb, xh0, xl0, semh0, seml0):
+            c.start()
+
+    @pl.when(step % 2 == 0)
+    def _():
+        for c in copies(wb, xh0, xl0, semh0, seml0):
+            c.wait()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            for c in copies(wbn, xh1, xl1, semh1, seml1):
+                c.start()
+
+        compute(xh0, xl0)
+
+    @pl.when(step % 2 == 1)
+    def _():
+        for c in copies(wb, xh1, xl1, semh1, seml1):
+            c.wait()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            for c in copies(wbn, xh0, xl0, semh0, seml0):
+                c.start()
+
+        compute(xh1, xl1)
 
 
 def _kernel_mrhs(brow_ref, diag_ref, x_ref, val_ref, u_ref, y_ref, *,
@@ -623,14 +656,20 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
                 nsteps = Tp // group
                 wb_spec = pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
                                        memory_space=pltpu.SMEM)
+                wbn_spec = pl.BlockSpec(
+                    (1, 1, 1),
+                    lambda i, *_: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
+                    memory_space=pltpu.SMEM)
                 kern = functools.partial(_kernel_roll_ff_hbm, K=K,
                                          group=group,
                                          win_rows=A.win_rows,
                                          interpret=interpret)
+                wb3 = A.win_base.reshape(nsteps, 1, 1)
                 return pl.pallas_call(
                     kern,
                     grid=grid,
-                    in_specs=[scal_spec, scal_spec, wb_spec, one_spec,
+                    in_specs=[scal_spec, scal_spec, wb_spec, wbn_spec,
+                              one_spec,
                               pl.BlockSpec(memory_space=pltpu.ANY),
                               pl.BlockSpec(memory_space=pltpu.ANY),
                               slot_spec, slot_spec],
@@ -639,12 +678,15 @@ def _wjd_apply_ff(A: WJD, xh2d, xl2d, *, interpret=False):
                     scratch_shapes=[
                         pltpu.VMEM((A.win_rows, 128), jnp.float32),
                         pltpu.VMEM((A.win_rows, 128), jnp.float32),
+                        pltpu.VMEM((A.win_rows, 128), jnp.float32),
+                        pltpu.VMEM((A.win_rows, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA,
                     ],
                     interpret=interpret,
-                )(_steps3(A), _steps3(A, True),
-                  A.win_base.reshape(nsteps, 1, 1), one, xh2d, xl2d,
+                )(_steps3(A), _steps3(A, True), wb3, wb3, one, xh2d, xl2d,
                   A.data, A.data_lo)
             kern = functools.partial(_kernel_roll_ff, K=K, group=group,
                                      interpret=interpret)

@@ -41,9 +41,30 @@ def from_scipy(S) -> CSR:
     return CSR.from_coo(C.row, C.col, C.data, C.shape)
 
 
+def spmm_host(Sa, Sb):
+    """scipy-CSR @ scipy-CSR through the native two-thread Gustavson
+    kernel when available (sorted rows; the reference's csrgemm analog,
+    hip_matrix_csr.cpp MatMatMult); scipy fallback otherwise. Both the
+    serial AMG builders and the distributed per-part Galerkin sweeps
+    route through here."""
+    import scipy.sparse as sp
+
+    from .. import native
+
+    if (native.available() and Sa.dtype == np.float64
+            and Sb.dtype == np.float64):
+        Sa, Sb = Sa.tocsr(), Sb.tocsr()
+        ptr, col, val = native.spgemm(Sa.indptr, Sa.indices, Sa.data,
+                                      Sb.indptr, Sb.indices, Sb.data,
+                                      Sb.shape[1])
+        return sp.csr_matrix((val, col, ptr),
+                             shape=(Sa.shape[0], Sb.shape[1]))
+    return (Sa @ Sb).tocsr()
+
+
 def spgemm(A: CSR, B: CSR) -> CSR:
     """C = A @ B (reference: LocalMatrix::MatMatMult / csrgemm)."""
-    return from_scipy((_scipy(A) @ _scipy(B)).tocsr())
+    return from_scipy(spmm_host(_scipy(A), _scipy(B)))
 
 
 def spgeam(A: CSR, B: CSR, alpha=1.0, beta=1.0) -> CSR:
@@ -59,7 +80,7 @@ def transpose(A: CSR) -> CSR:
 def triple_product(R: CSR, A: CSR, P: CSR) -> CSR:
     """Galerkin product R A P (reference: LocalMatrix::TripleMatrixProduct —
     the AMG coarse-operator construction)."""
-    return from_scipy((_scipy(R) @ _scipy(A) @ _scipy(P)).tocsr())
+    return from_scipy(spmm_host(spmm_host(_scipy(R), _scipy(A)), _scipy(P)))
 
 
 def spgemm_plan(A: CSR, B: CSR):

@@ -141,10 +141,11 @@ def _wjd_fits(W) -> bool:
     # in which case the operator falls back to the XLA path
     win_bytes = 2 * int(W.win_rows) * 512
     if W.data_lo is not None:              # float-float: two planes
-        # the windowed ff kernel exists for roll mode only
+        # the windowed ff kernel exists for roll mode only; it double-
+        # buffers BOTH the hi and lo planes (4 window buffers total)
         if W.kernel_mode == "roll" and W.win_base is not None:
             return (2 * xp_bytes <= _X_VMEM_BUDGET
-                    or win_bytes <= _X_VMEM_BUDGET)
+                    or 2 * win_bytes <= _X_VMEM_BUDGET)
         return 2 * xp_bytes <= _X_VMEM_BUDGET
     if W.win_base is not None:             # windowed (roll AND gather)
         return (xp_bytes <= _X_VMEM_BUDGET

@@ -164,7 +164,12 @@ def prepare_offd(T: CSR) -> CSR:
 
     dh, ih, ph = T.numpy_triplet()
     rh = T.numpy_rows()
-    N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape)
+    # host-resident leaves: the apply is served by the attached WJD (device
+    # planes); uploading a second full CSR of the factor would double the
+    # analyze-phase transfer on the 5 MB/s relay (round-4:
+    # cg_ic0_65k_analyze_ms was ~2.6 s of pure H2D)
+    N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape,
+                        device=False)
     maybe_attach_wjd(N)
     object.__setattr__(T, "_offd_cache", N)
     return N

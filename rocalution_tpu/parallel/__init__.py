@@ -16,9 +16,10 @@ __all__ = [
     "global_csr_from_blocks", "shard_spmv", "shard_operator", "dist_solve",
     "make_mesh", "block_jacobi_diag", "block_jacobi_precond",
     "ShardPrecond", "DistLevels", "distributed_amg_setup",
-    "dist_amg_solve_sharded", "global_transpose", "global_triple_product",
+    "dist_amg_solve_sharded", "dist_levels_from_blocks",
+    "global_transpose", "global_triple_product",
 ]
 from .amg import DistMG, dist_amg_solve, distribute_hierarchy
 from .amg_setup import (DistLevels, dist_amg_solve_sharded,
-                        distributed_amg_setup)
+                        dist_levels_from_blocks, distributed_amg_setup)
 from .matops import global_transpose, global_triple_product

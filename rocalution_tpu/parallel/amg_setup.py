@@ -144,8 +144,12 @@ def dist_sa_level(mats: Sequence, offs: np.ndarray, *, eps: float = 0.08,
         T_sub = sp.csr_matrix(
             (np.ones(len(rows_needed), m.dtype.type),
              (rows_needed, agg_gid[rows_needed])), shape=(N, NC))
+        from ..ops.spgemm import spmm_host
+
         T_own = T_sub[offs[p]:offs[p + 1]]
-        P_p = (T_own - sp.diags(omega * inv_d) @ (Af @ T_sub)).tocsr()
+        AfT = spmm_host(Af, T_sub)
+        AfT.data *= omega * np.repeat(inv_d, np.diff(AfT.indptr))
+        P_p = (T_own - AfT).tocsr()
         P_p.eliminate_zeros()
         P_mats.append(P_p)
 
@@ -165,12 +169,14 @@ def _dist_galerkin(mats, offs, P_mats, coffs):
     N = int(offs[-1])
     NC = int(coffs[-1])
 
+    from ..ops.spgemm import spmm_host
+
     # AP_p = A_p · P (ghost rows of P fetched from their owners)
     AP_mats = []
     for p in range(Pn):
         m = mats[p]
         Pfull = _fetch_rows(P_mats, offs, np.unique(m.tocoo().col), NC)
-        AP_mats.append((m @ Pfull).tocsr())
+        AP_mats.append(spmm_host(m, Pfull))
 
     # R = Pᵀ: every part buckets its P entries to the owner of the coarse
     # row (inverse boundary-row exchange), then Ac_q = R_q · AP
@@ -195,7 +201,7 @@ def _dist_galerkin(mats, offs, P_mats, coffs):
         R_q = sp.csr_matrix((rd, (rr, rc)), shape=(nc_q, N))
         R_mats.append(R_q)
         APfull = _fetch_rows(AP_mats, offs, np.unique(rc), NC)
-        Ac_mats.append((R_q @ APfull).tocsr())
+        Ac_mats.append(spmm_host(R_q, APfull))
     return R_mats, Ac_mats
 
 
@@ -256,6 +262,36 @@ def dist_rs_level(mats: Sequence, offs: np.ndarray, *, theta: float = 0.25,
             (coo.data, (coo.row, coo.col + coffs[p])),
             shape=(P_locs[p].shape[0], NC)))
 
+    R_mats, Ac_mats = _dist_galerkin(mats, offs, P_mats, coffs)
+    return P_mats, R_mats, Ac_mats, coffs
+
+
+def dist_ua_level(mats: Sequence, offs: np.ndarray, *, eps: float = 0.08,
+                  strategy: str = "auto", seed: int = 0):
+    """One distributed unsmoothed-aggregation coarsening step: decoupled
+    aggregation per part (as `dist_sa_level`) but P is the raw tentative
+    operator — no Jacobi smoothing, so no filtered-row exchange is needed;
+    the Galerkin product still couples across boundaries. Completes the
+    reference's global UAAMG (unsmoothed_amg.cpp, GlobalMatrix
+    instantiations at end of file)."""
+    import scipy.sparse as sp
+
+    Pn = len(mats)
+    aggs, ncs = [], []
+    for p in range(Pn):
+        local = mats[p][:, offs[p]:offs[p + 1]].tocsr()
+        C = strength_connect(local, eps)
+        agg = _aggregate(C, strategy, seed + p)
+        aggs.append(agg)
+        ncs.append(int(agg.max()) + 1 if len(agg) else 0)
+    coffs = np.concatenate([[0], np.cumsum(ncs)]).astype(np.int64)
+    NC = int(coffs[-1])
+    P_mats = []
+    for p in range(Pn):
+        nl_p = mats[p].shape[0]
+        P_mats.append(sp.csr_matrix(
+            (np.ones(nl_p, mats[p].dtype.type),
+             (np.arange(nl_p), coffs[p] + aggs[p])), shape=(nl_p, NC)))
     R_mats, Ac_mats = _dist_galerkin(mats, offs, P_mats, coffs)
     return P_mats, R_mats, Ac_mats, coffs
 
@@ -363,9 +399,10 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
 
     `kind`: "sa" (smoothed aggregation, `dist_sa_level`), "rs"
     (Ruge-Stüben, `dist_rs_level` — decoupled C/F + direct/ExtPI
-    interpolation; `theta`/`interpolation` apply) or "pairwise"
-    (`dist_pairwise_level`, Notay matching). The reference builds every
-    AMG type at global scope the same way (global_matrix.cpp:4041-4311).
+    interpolation; `theta`/`interpolation` apply), "ua" (unsmoothed
+    aggregation, `dist_ua_level`) or "pairwise" (`dist_pairwise_level`,
+    Notay matching). The reference builds every AMG type at global scope
+    the same way (global_matrix.cpp:4041-4311).
 
     `blocks[p]` = (local_rows, global_cols, values) for part p's rows —
     the same block format `global_csr_from_blocks` takes, producible
@@ -394,6 +431,10 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
             P_m, R_m, Ac_m, coffs = dist_rs_level(
                 level_mats, level_offs, theta=theta,
                 interpolation=interpolation, seed=seed + len(As))
+        elif kind == "ua":
+            P_m, R_m, Ac_m, coffs = dist_ua_level(
+                level_mats, level_offs, eps=eps * 0.5 ** len(As),
+                strategy=strategy, seed=seed + len(As))
         elif kind == "pairwise":
             P_m, R_m, Ac_m, coffs = dist_pairwise_level(
                 level_mats, level_offs, seed=seed + len(As))
@@ -423,6 +464,61 @@ def distributed_amg_setup(blocks, shape, *, kind: str = "sa",
         _blocks_of(level_mats), (int(level_offs[-1]),) * 2, wjd=wjd)
     As.append(Ac_g)
     coarse_inv = _inv_diag_stacked(level_mats, level_offs, Pn, Ac_g.n_local)
+    return DistLevels(tuple(As), tuple(Ps), tuple(Rs), tuple(invds),
+                      coarse_inv)
+
+
+def dist_levels_from_blocks(A_blocks, P_blocks, R_blocks, sizes, *,
+                            wjd: Optional[bool] = None) -> DistLevels:
+    """Distributed GEOMETRIC multigrid entry: build a DistLevels hierarchy
+    from USER-SUPPLIED per-level, per-part row blocks — the analog of the
+    reference's MultiGrid solver for GlobalMatrix, where the user calls
+    SetOperator/SetRestrictOperator/SetProlongOperator per level with
+    global matrices (multigrid.cpp SetRestrictOperator/SetProlongOperator;
+    GlobalMatrix instantiations at end of file).
+
+    `A_blocks[l]` — per-part (local_rows, global_cols, values) blocks of
+    level l's operator (square, `sizes[l]` unknowns, finest first);
+    `P_blocks[l]` — blocks of the prolongation (sizes[l] × sizes[l+1]);
+    `R_blocks[l]` — blocks of the restriction (sizes[l+1] × sizes[l]).
+    All levels use the equal row partition over `len(A_blocks[0])` parts.
+    The result drives `dist_cycle_closure`/`dist_amg_solve_sharded`
+    exactly like an AMG-built hierarchy; the coarsest solve is in-cycle
+    CG+Jacobi on the sharded coarsest operator."""
+    import scipy.sparse as sp
+
+    nlev = len(A_blocks)
+    if len(P_blocks) != nlev - 1 or len(R_blocks) != nlev - 1:
+        raise ValueError("need exactly one P and R per fine level")
+    Pn = len(A_blocks[0])
+
+    def _mats(blocks, nrow, ncol):
+        offs = _offsets(Pn, nrow)
+        out = []
+        for p in range(Pn):
+            r, c, d = blocks[p]
+            out.append(sp.csr_matrix(
+                (np.asarray(d), (np.asarray(r), np.asarray(c))),
+                shape=(int(offs[p + 1] - offs[p]), ncol)))
+        return out, offs
+
+    As, Ps, Rs, invds = [], [], [], []
+    for l in range(nlev):
+        n = int(sizes[l])
+        mats, offs = _mats(A_blocks[l], n, n)
+        Ag = global_csr_from_blocks(_blocks_of(mats), (n, n), wjd=wjd)
+        As.append(Ag)
+        if l < nlev - 1:
+            invds.append(_inv_diag_stacked(mats, offs, Pn, Ag.n_local))
+            nc = int(sizes[l + 1])
+            Pm, _ = _mats(P_blocks[l], n, nc)
+            Ps.append(global_csr_from_blocks(
+                _blocks_of(Pm), (n, nc), wjd=False))
+            Rm, _ = _mats(R_blocks[l], nc, n)
+            Rs.append(global_csr_from_blocks(
+                _blocks_of(Rm), (nc, n), wjd=False))
+        else:
+            coarse_inv = _inv_diag_stacked(mats, offs, Pn, Ag.n_local)
     return DistLevels(tuple(As), tuple(Ps), tuple(Rs), tuple(invds),
                       coarse_inv)
 

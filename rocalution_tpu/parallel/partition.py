@@ -217,30 +217,35 @@ def global_csr_from_blocks(blocks, shape, max_neighbor_shifts: int = 6,
         for q in range(P):
             for i, l in enumerate(send_lists[q]):
                 send_off_np[q, i, : len(l)] = l
-        # receive map into the concatenated (D*W,) per-shift recv buffers
+        # receive map into the concatenated (D*W,) per-shift recv buffers.
+        # Vectorized per shift group (was a per-ghost Python loop — O(boundary)
+        # interpreter work that bit at 256³): a (sender, shift) send list is
+        # exactly THIS receiver's sorted ghost block for that owner, so the
+        # position of each ghost in it is its rank — a plain arange.
         recv_of = []
         for p in range(P):
             g = ghost_cols_of[p]
             o = g // ncl
             flat = np.empty(len(g), dtype=np.int64)
-            for k in range(len(g)):
-                s = int(p - o[k])
-                pos = np.searchsorted(send_lists[o[k]][sidx[s]],
-                                      g[k] - o[k] * ncl)
-                flat[k] = sidx[s] * W + pos
+            for s in np.unique(p - o):
+                sel = (p - o) == s
+                flat[sel] = sidx[int(s)] * W + np.arange(int(sel.sum()))
             recv_of.append(flat)
     else:
         send_off_np = np.zeros((P, 1, 1), np.int64)
         # all_gather mode: ghost col g of part p lives at owner o = g // ncl,
         # at the position of g in send_of[o]; flat index o*max_send + pos
+        # (vectorized per owner group: send_of[o] is the UNION of all
+        # receivers' needs, so the rank comes from one searchsorted)
         recv_of = []
         for p in range(P):
             g = ghost_cols_of[p]
             o = g // ncl
             flat = np.empty(len(g), dtype=np.int64)
-            for k in range(len(g)):
-                pos = np.searchsorted(send_of[o[k]], g[k] - o[k] * ncl)
-                flat[k] = o[k] * max_send + pos
+            for ov in np.unique(o):
+                sel = o == ov
+                flat[sel] = ov * max_send + np.searchsorted(
+                    send_of[ov], g[sel] - ov * ncl)
             recv_of.append(flat)
 
     # split nnz per part into interior / ghost, renumber, pad

@@ -69,7 +69,7 @@ def ic(A, *, method: str = "levels", sweeps: int = 8):
     preconditioner, LLSolve path)."""
     csr = A if isinstance(A, CSR) else to_csr(A)
     L = ic0(csr)
-    Lt = L.transpose_host()
+    Lt = L.transpose_host(device=False)
     if method == "levels":
         ls = build_schedule(L)
         us = build_schedule(Lt)
@@ -197,7 +197,7 @@ def bsr_ic0(A, *, method: str = "levels", sweeps: int = 8):
     nrowb = -(-A.shape[0] // bd)
     L = _flatten_blocks(vals, cols, rows, nrowb, nrowb, bd,
                         unit_diag_blocks=False)
-    Lt = L.transpose_host()
+    Lt = L.transpose_host(device=False)
     if method == "levels":
         ls = build_schedule(L)
         us = build_schedule(Lt)

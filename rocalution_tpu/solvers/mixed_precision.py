@@ -27,14 +27,19 @@ from .krylov.cg import cg
 
 
 def _cast_format(A, dtype):
-    """Cast a format pytree's value arrays to `dtype` (index arrays kept)."""
-    def leaf_cast(x):
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
-            return x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
-            return x.astype(dtype)
-        return x
-    return jax.tree.map(leaf_cast, A)
+    """Cast a format's value arrays to `dtype` (index arrays kept).
+
+    Delegates to `formats.convert.cast_values`, which casts *host-side*
+    when a host cache exists — crucially preserving the `_host_cache`
+    attribute so `as_operator`/`maybe_attach_wjd` can attach the Pallas
+    fast path to the low-precision operator. (A bare `jax.tree.map`
+    rebuild drops object attributes, silently demoting the inner solve
+    to the collapsed XLA gather path on TPU — the reference runs the
+    same accelerator kernels at both precisions,
+    mixed_precision.cpp:369-399.)"""
+    from ..formats.convert import cast_values
+
+    return cast_values(A, dtype)
 
 
 def mixed_precision_dc(
@@ -66,13 +71,14 @@ def mixed_precision_dc(
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     A_low = _cast_format(A, inner_dtype)
+    as_operator(A_low)  # eager: attach the WJD fast path BEFORE tracing
+    # (maybe_attach_wjd refuses to build device caches inside a jit trace)
 
-    @jax.jit
-    def residual(x):
-        return b - op(x)
+    from ..utils.hoist import hoisted_jit
 
-    inner = jax.jit(
-        lambda rl: solver(A_low, rl, **ikw)[0]
+    residual = hoisted_jit(lambda x: b - op(x), x)
+    inner = hoisted_jit(
+        lambda rl: solver(A_low, rl, **ikw)[0], b.astype(inner_dtype)
     )
 
     r = residual(x)

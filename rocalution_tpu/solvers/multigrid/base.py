@@ -487,7 +487,9 @@ def _fcg_steps(A, b, M: Callable, steps: int):
             rho = jnp.sum(r * z)
         else:
             rho_new = jnp.sum(r * z)
-            beta = (rho_new - jnp.sum(z * r_prev)) / rho
+            beta = jnp.where(rho == 0, 0.0,
+                             (rho_new - jnp.sum(z * r_prev))
+                             / jnp.where(rho == 0, 1.0, rho))
             p = z + beta * p
             rho = rho_new
         q = spmv(A, p)

@@ -362,8 +362,10 @@ def rs_level(A: CSR, *, theta: float = 0.25, seed: int = 0,
         P = extpi_interpolation(S, Sg, cfmap, ff1=ff1_limit)
     else:
         raise ValueError(f"unknown interpolation type {interpolation!r}")
+    from ...ops.spgemm import spmm_host
+
     R = P.T.tocsr()
-    Ac = (R @ S @ P).tocsr()
+    Ac = spmm_host(spmm_host(R, S), P)
     from .aggregation import _to_csr
 
     return _to_csr(P), _to_csr(R), _to_csr(Ac)

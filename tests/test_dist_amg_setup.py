@@ -269,3 +269,83 @@ def test_dist_pairwise_setup_and_solve():
                                      rel_tol=1e-8, max_iter=200)
     assert int(info.status) in (1, 2)
     assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+
+
+def test_dist_ua_level_galerkin_exact():
+    """Distributed UA level (VERDICT r4 item 8): tentative-only P per
+    part; the exchanged Galerkin product must still be the exact R·A·P
+    of the FULL fine operator (reference: global UAAMG,
+    unsmoothed_amg.cpp GlobalMatrix instantiations)."""
+    from rocalution_tpu.parallel.amg_setup import dist_ua_level
+
+    A = rt.laplacian_2d(16)
+    S = sp.csr_matrix(tuple(A.numpy_triplet()[i] for i in (0, 1, 2)),
+                      shape=A.shape)
+    blocks, offs = _blocks_from_csr(A, NP)
+    mats = [sp.csr_matrix((b[2], (b[0], b[1])),
+                          shape=(int(offs[q + 1] - offs[q]), A.shape[0]))
+            for q, b in enumerate(blocks)]
+    P_m, R_m, Ac_m, coffs = dist_ua_level(mats, offs, strategy="greedy")
+    NC = int(coffs[-1])
+    Pg = _assemble(P_m, offs, NC)
+    Rg = _assemble(R_m, coffs, A.shape[0])
+    Acg = _assemble(Ac_m, coffs, NC)
+    assert (Rg != Pg.T.tocsr()).nnz == 0
+    # tentative P: exactly one unit entry per fine row
+    assert Pg.nnz == A.shape[0] and np.all(Pg.data == 1.0)
+    ref = (Pg.T @ S @ Pg).tocsr()
+    diff = Acg - ref
+    mx = np.abs(diff.data).max() if diff.nnz else 0.0
+    assert mx < 1e-12, mx
+    assert 0 < NC < A.shape[0]
+
+
+def test_dist_ua_setup_and_solve():
+    """End-to-end distributed UA-AMG via kind="ua"."""
+    n = 24
+    N = n * n
+    offs = _offsets(NP, N)
+    blocks = [laplacian_2d_block(n, int(offs[q]), int(offs[q + 1]))
+              for q in range(NP)]
+    dl = distributed_amg_setup(blocks, (N, N), kind="ua", coarse_size=60,
+                               strategy="greedy", wjd=False)
+    assert len(dl.As) >= 2
+    b = np.zeros(N)
+    for q, (r, c, d) in enumerate(blocks):
+        np.add.at(b, r + int(offs[q]), d)
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(NP),
+                                     rel_tol=1e-8, max_iter=200)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+
+
+def test_dist_geometric_mg_from_blocks():
+    """Distributed geometric MultiGrid with USER-SUPPLIED per-level
+    blocks (reference: MultiGrid solver for GlobalMatrix —
+    SetOperator/SetRestrictOperator/SetProlongOperator per level,
+    multigrid.cpp): a serial-built hierarchy split into row blocks must
+    drive the sharded cycle to the same answer."""
+    from rocalution_tpu.parallel import dist_levels_from_blocks
+    from rocalution_tpu.solvers.multigrid import amg_hierarchy
+
+    n = 24
+    A = rt.laplacian_2d(n)
+    h = amg_hierarchy(A, coarse_size=60, strategy="greedy")
+    assert len(h.levels) >= 2
+
+    def blocks_of(M, nparts):
+        b, _ = _blocks_from_csr(M, nparts)
+        return b
+
+    sizes = [lv.A.shape[0] for lv in h.levels]
+    A_blocks = [blocks_of(lv.A, NP) for lv in h.levels]
+    P_blocks = [blocks_of(lv.P, NP) for lv in h.levels[:-1]]
+    R_blocks = [blocks_of(lv.R, NP) for lv in h.levels[:-1]]
+    dl = dist_levels_from_blocks(A_blocks, P_blocks, R_blocks, sizes,
+                                 wjd=False)
+    assert len(dl.As) == len(sizes)
+    b = np.asarray(rt.spmv(A, np.ones(A.shape[0])))
+    x, info = dist_amg_solve_sharded(cg, dl, b, mesh=make_mesh(NP),
+                                     rel_tol=1e-8, max_iter=100)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5

@@ -122,6 +122,20 @@ def test_mixed_precision_dc():
     assert np.asarray(x).dtype == np.float64
 
 
+def test_mixed_precision_inner_keeps_fast_path():
+    """The low-precision inner operator must keep its host cache so
+    `maybe_attach_wjd` can attach the Pallas fast path on TPU (round-4
+    regression: a tree.map rebuild dropped `_host_cache` and the inner
+    solve fell to the collapsed XLA gather path, mpdc_16k_ms=1535)."""
+    from rocalution_tpu.solvers.mixed_precision import _cast_format
+
+    A, _, _, _ = _laplacian_problem(12)
+    A_low = _cast_format(A, np.float32)
+    cache = getattr(A_low, "_host_cache", None)
+    assert cache and "data" in cache
+    assert cache["data"].dtype == np.float32
+
+
 def test_power_method():
     A = rt.laplacian_2d(10)
     lam, _ = rt.power_method(A, iters=300)

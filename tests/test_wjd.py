@@ -458,3 +458,53 @@ def test_wjd_roll_window_plan_fields():
     y = np.asarray(spmv(W, jnp.asarray(x)))
     ref = sp.csr_matrix((d, i, p), shape=A.shape) @ x
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_stack_wjd_window_fields(monkeypatch):
+    """Stacked (distributed interior) WJD must carry per-part window
+    metadata so beyond-VMEM shards ride the HBM-x kernels inside
+    shard_map (round-4 weakness: stack_wjd never set win_base and big
+    shards fell back to the XLA path; reference: every rank runs the
+    same optimized csrmv regardless of size, global_matrix.cpp:976-1007)."""
+    import scipy.sparse as sp
+
+    import rocalution_tpu.formats.wjd as wjd_mod
+    from rocalution_tpu.formats.wjd import shard_of, stack_wjd
+
+    A = rt.laplacian_2d(48, dtype=np.float32)
+    d, i, p = A.numpy_triplet()
+    n = A.shape[0]
+    nl = n // 2
+    # two per-part triplets (rows local, cols global)
+    parts = []
+    for q in range(2):
+        lo, hi = q * nl, (q + 1) * nl
+        pp = p[lo:hi + 1] - p[lo]
+        parts.append((d[p[lo]:p[hi]], i[p[lo]:p[hi]], pp))
+    # force the windowed regime on this tiny operator
+    monkeypatch.setattr(wjd_mod, "X_VMEM_BUDGET", 1024)
+    W = stack_wjd(parts, (nl, n))
+    assert W.win_base is not None and W.win_rows > 0
+    P, Tp = W.data.shape[0], W.brow.shape[1]
+    nsteps = Tp // W.group
+    assert W.win_base.shape == (P, nsteps)
+    # every slot's deepest load stays inside its step window
+    load = 17 if W.kernel_mode == "roll" else 8 + (1 << W.wlog) // 128
+    for q in range(2):
+        b3 = np.asarray(W.brow[q]).reshape(nsteps, W.group, -1)
+        wb = np.asarray(W.win_base[q])
+        assert (b3.min(axis=(1, 2)) >= wb).all()
+        assert (b3.max(axis=(1, 2)) + load <= wb + W.win_rows).all()
+    assert int(np.asarray(W.win_base).max()) + W.win_rows <= W.xp_len // 128
+    # per-shard interpret apply still matches scipy on each part
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+    ref = S @ x
+    from rocalution_tpu.ops.pallas.spmv_wjd import wjd_spmv
+
+    for q in range(2):
+        y = np.asarray(wjd_spmv(shard_of(W, q), jnp.asarray(x),
+                                interpret=True))
+        rel = np.linalg.norm(y - ref[q * nl:(q + 1) * nl]) / \
+            np.linalg.norm(ref)
+        assert rel < 1e-5, (q, rel)
