@@ -317,10 +317,58 @@ def main():
         info_mp = run()
         results["mpdc_16k_ms"] = (time.perf_counter() - t0) * 1e3
         results["mpdc_16k_iters"] = int(info_mp.iterations)
+        # engine check (round-4 weakness 1): the f32 inner operator must
+        # keep its host cache so the kernel/hybrid fast path attaches
+        from rocalution_tpu.solvers.mixed_precision import _cast_format
+
+        low = _cast_format(A1664, np.float32)
+        cache = getattr(low, "_host_cache", None)
+        results["mpdc_inner_fast"] = float(
+            bool(cache) and cache["data"].dtype == np.float32)
         log(f"mpdc: outer_iters={int(info_mp.iterations)} "
-            f"res={float(info_mp.final_res):.3e}")
+            f"res={float(info_mp.final_res):.3e} "
+            f"inner_fast={results['mpdc_inner_fast']}")
 
     section("mpdc", 20, sec_mpdc)
+
+    # ---- AMG setup at scale (round-4 VERDICT item 1): host-native fused
+    # Galerkin build, 2.1M unknowns — no device traffic, pure setup ----
+    def sec_amg_setup_2m():
+        from rocalution_tpu.solvers.multigrid import amg_hierarchy
+
+        A3h = rt.laplacian_3d(128, dtype=np.float64)
+        t0 = time.perf_counter()
+        h = amg_hierarchy(A3h, "sa", coarse_size=300)
+        results["amg_setup_2m_ms"] = (time.perf_counter() - t0) * 1e3
+        results["amg_setup_2m_levels"] = float(len(h.levels))
+        log(f"amg setup 2.1M: {results['amg_setup_2m_ms']:.0f} ms "
+            f"levels={[lv.A.shape[0] for lv in h.levels]}")
+
+    section("amg_setup_2m", 45, sec_amg_setup_2m)
+
+    # ---- real-unstructured operator (round-4 VERDICT item 4): P1 FEM on
+    # a random Delaunay mesh (variable degree, irregular sparsity) ----
+    def sec_fem():
+        from rocalution_tpu.precond import ic
+
+        Af = rt.fem_2d_unstructured(120_000, dtype=np.float64)
+        bf = np.asarray(
+            rt.spmv(Af, np.ones(Af.shape[0], np.float64)))
+        t0 = time.perf_counter()
+        M_f = ic(Af, method="jacobi", sweeps=8)
+        results["fem_ic0_120k_analyze_ms"] = (time.perf_counter() - t0) * 1e3
+
+        @jax.jit
+        def solve(b):
+            xs, info = rt.cg(Af, b, M=M_f, rel_tol=1e-8, max_iter=3000)
+            return jnp.sum(xs), info.iterations, info.final_res
+
+        best, iters, res = solve_time(solve, jax.device_put(bf))
+        results["fem_ic0_120k_solve_ms"] = best * 1e3
+        results["fem_ic0_120k_iters"] = iters
+        log(f"fem cg+ic0 120k: iters={iters} final_res={res:.3e}")
+
+    section("fem_ic0", 60, sec_fem)
 
     # ============ 2. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
     NV = 1000000
@@ -377,10 +425,19 @@ def main():
         Tp, K = W.brow.shape
         slot_bytes = Tp * K * 1024 * (vsize + (1 if W.kernel_mode ==
                                                "gather" else 0))
-        own = slot_bytes + 2 * N * vsize
+        if W.nnz == 0 and W.spill_row.shape[0] == 0:
+            slot_bytes = 0               # hybrid: kernel launch skipped
+        # hybrid DIA split: dia_data rows stream once each
+        dia_bytes = (0 if W.dia_data is None
+                     else W.dia_data.shape[0] * N * vsize)
+        own = slot_bytes + dia_bytes + 2 * N * vsize
         results["spmv_csr_own_model_gbps"] = own / t / 1e9
         results["wjd_roll_mode"] = 1.0 if W.kernel_mode == "roll" else 0.0
-        log(f"  spmv[csr/wjd:{W.kernel_mode}] {t*1e6:9.1f} us/op")
+        results["wjd_dia_split_ndiag"] = float(
+            0 if W.dia_data is None else len(W.dia_offsets))
+        log(f"  spmv[csr/wjd:{W.kernel_mode} "
+            f"ndia={0 if W.dia_data is None else len(W.dia_offsets)}] "
+            f"{t*1e6:9.1f} us/op")
 
     section("wjd_csr", 0, sec_wjd_csr)
 
@@ -541,6 +598,83 @@ def main():
 
     for fmt in ("ell", "hyb", "bcsr", "csr_xla"):
         section(f"fmt_{fmt}", 25, slow_fmt(fmt))
+
+    # ============ 8. beyond-VMEM rows (round-4 VERDICT weakness 8) =======
+    # The HBM-x windowed kernels and the stacked-WJD window path on real
+    # hardware at sizes where the whole x plane cannot be VMEM-resident.
+    def sec_win_f32():
+        from rocalution_tpu.formats.wjd import from_csr
+        from rocalution_tpu.parallel import distribute_csr, make_mesh
+        from rocalution_tpu.parallel.ops import shard_spmv
+        from jax.sharding import PartitionSpec as Pspec
+
+        A58 = rt.laplacian_3d(180, dtype=np.float32)        # 5.83M rows
+        N58, nnz58 = A58.shape[0], A58.nnz
+        x58 = jax.device_put(
+            (np.random.default_rng(7).standard_normal(N58) / N58)
+            .astype(np.float32))
+        W = from_csr(A58, split_dia=False)   # force the windowed kernel
+        assert W.win_base is not None and W.kernel_mode == "roll"
+        t = chain_time(lambda c, W: spmv(W, c) * scale, x58, W,
+                       budget_s=0.1, probe=6, trials=2)
+        results["spmv_f32_win_5m8_gbps"] = (vsize + isize) * nnz58 / t / 1e9
+        log(f"  spmv[f32 windowed 5.8M] {t*1e6:9.1f} us/op")
+
+        # stacked (shard_map) variant of the SAME operator: the per-shard
+        # interior rides the windowed kernel inside shard_map
+        Ag = distribute_csr(A58, 1, wjd=True)
+        assert (Ag.int_wjd is not None
+                and Ag.int_wjd.win_base is not None), "stack windows absent"
+        mesh = make_mesh(1)
+
+        def body(Ash, xs, k):
+            xi = jax.lax.fori_loop(
+                0, k, lambda i, c: shard_spmv(Ash, c, "p") * scale, xs[0])
+            return xi[None]
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: Pspec("p"), Ag), Pspec("p"),
+                      Pspec()),
+            out_specs=Pspec("p"), check_vma=False)
+        pad = Ag.n_local - N58
+        xs = (jnp.concatenate([x58[None],
+                               jnp.zeros((1, pad), x58.dtype)], axis=1)
+              if pad > 0 else x58[None])
+        Agd = jax.device_put(Ag)
+
+        @jax.jit
+        def run(v, k, Ag):
+            return jnp.sum(fn(Ag, v, k))
+
+        float(run(xs, 2, Agd))
+        def timed(k):
+            t0 = time.perf_counter()
+            float(run(xs, k, Agd))
+            return time.perf_counter() - t0
+        timed(60)
+        t1 = min(timed(60) for _ in range(2))
+        t2 = min(timed(120) for _ in range(2))
+        t = max((t2 - t1) / 60, 1e-12)
+        results["spmv_shard1_5m8_gbps"] = (vsize + isize) * nnz58 / t / 1e9
+        log(f"  spmv[shard1 windowed 5.8M] {t*1e6:9.1f} us/op")
+
+    section("win_f32_5m8", 150, sec_win_f32)
+
+    def sec_win_f64():
+        A2m = rt.laplacian_3d(128, dtype=np.float64)        # 2.1M rows
+        attach_wjd(A2m)
+        W = A2m._wjd_cache
+        assert W.win_base is not None and W.data_lo is not None
+        N2m, nnz2m = A2m.shape[0], A2m.nnz
+        x2m = jax.device_put(
+            np.random.default_rng(8).standard_normal(N2m) / N2m)
+        t = chain_time(lambda c, W: spmv(W, c) * np.float64(1 / 12.0), x2m,
+                       W, budget_s=0.1, probe=6, trials=2)
+        results["spmv_f64_win_2m_gbps"] = (8 + isize) * nnz2m / t / 1e9
+        log(f"  spmv[f64 windowed 2.1M, double-buffered] {t*1e6:9.1f} us/op")
+
+    section("win_f64_2m", 120, sec_win_f64)
 
     for k, v in sorted(results.items()):
         log(f"  {k:28s} {v:12.2f}")

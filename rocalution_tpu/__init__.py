@@ -28,7 +28,8 @@ from .solvers import (IterationControl, SolverInfo, bicgstab, bicgstabl, cg,
                       fixed_point_sweeps, gmres, idr, mixed_precision_dc,
                       qmrcgstab)
 from .utils.generators import (anisotropic_laplacian_2d,
-                               convection_diffusion_2d, laplacian_2d,
+                               convection_diffusion_2d, fem_2d_unstructured,
+                               laplacian_2d,
                                laplacian_3d, random_banded_spd)
 
 __version__ = "0.1.0"

@@ -98,6 +98,15 @@ class WJD(MatrixBase):
     # without it the whole padded x must be VMEM-resident, which caps a
     # single chip at ~4M rows (scoped-VMEM limit, measured at 16.7M).
     win_base: Optional[jnp.ndarray] = None
+    # hybrid DIA split: GLOBALLY dense diagonals are pulled out of the slot
+    # plan and served by the fused XLA static-shift formulation (round-4
+    # op-floor study: Mosaic's rotate costs the same static or dynamic, but
+    # XLA's fully-static DIA closure reaches ~4 ops/diag/vreg — 2x the roll
+    # kernel). dia_data[k, r] = A[r, r + dia_offsets[k]] (zero-filled
+    # holes); the kernel serves only the residual slots. Analog: the
+    # reference's HYB ELL+COO split, re-targeted at diagonals.
+    dia_data: Optional[jnp.ndarray] = None
+    dia_offsets: Tuple[int, ...] = static_field(default=())
     shape: Tuple[int, int] = static_field(default=(0, 0))
     value_dtype: str = static_field(default="float32")  # logical value dtype
     # "gather": nj lane-shuffles per slot (general sparsity).
@@ -148,19 +157,22 @@ _FF_COST_ROLL = 18.0
 def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
                max_slots: Optional[int] = 128,
                kernel_mode: str = "auto",
-               values_dtype=None, cache: bool = True) -> WJD:
+               values_dtype=None, cache: bool = True,
+               split_dia="auto") -> WJD:
     """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
     Thin wrapper: plan (or load the cached plan — see wjd_cache.py) then
     materialize device arrays once at the end."""
     return _plan_to_wjd(csr_to_wjd_plan(
         vals, cols, indptr, shape, wlog=wlog, max_slots=max_slots,
-        kernel_mode=kernel_mode, values_dtype=values_dtype, cache=cache))
+        kernel_mode=kernel_mode, values_dtype=values_dtype, cache=cache,
+        split_dia=split_dia))
 
 
 def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
                     max_slots: Optional[int] = 128,
                     kernel_mode: str = "auto",
-                    values_dtype=None, cache: bool = True) -> dict:
+                    values_dtype=None, cache: bool = True,
+                    split_dia="auto") -> dict:
     """Host-side CSR -> WJD *plan* (numpy arrays + static fields only —
     no device arrays; see `_plan_to_wjd`). The analysis stage proper.
 
@@ -199,6 +211,7 @@ def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
         key = wjd_cache.plan_key(vals, cols, indptr, shape, {
             "wlog": wlog, "max_slots": max_slots,
             "kernel_mode": kernel_mode, "values_dtype": values_dtype,
+            "split_dia": split_dia,
         })
         hit = wjd_cache.load_plan(key)
         if hit is not None:
@@ -206,9 +219,52 @@ def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
 
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
 
+    # hybrid DIA split (round-4 VERDICT item 10): GLOBALLY dense diagonals
+    # leave the slot plan and ride XLA's fully-static DIA formulation
+    # (~4 ops/diag/vreg vs the roll kernel's ~12.6 ns/slot floor — Mosaic
+    # rotates cost the same static or dynamic, measured; BASELINE.md
+    # op-floor study). f32/bf16 only: the ff (f64) kernel keeps its exact
+    # compensated path.
+    dia_data = None
+    dia_offsets = ()
+    do_split = (split_dia if split_dia != "auto"
+                else np.dtype(vals.dtype) == np.float32)
+    if do_split and nnz:
+        d_all = cols - rows
+        offs_u, counts = np.unique(d_all, return_counts=True)
+        qual = offs_u[counts >= max(1, n // 2)]
+        if len(qual) > 64:           # bound the (ndiag, n) side structure
+            top = np.argsort(counts[np.isin(offs_u, qual)])[-64:]
+            qual = np.sort(qual[top])
+        if len(qual):
+            mask = np.isin(d_all, qual)
+            dia_offsets = tuple(int(o) for o in qual)
+            dia_data = np.zeros((len(qual), n), vals.dtype)
+            ki = np.searchsorted(qual, d_all[mask])
+            dia_data[ki, rows[mask]] = vals[mask]
+            keep = ~mask
+            vals, cols, rows = vals[keep], cols[keep], rows[keep]
+            nnz = len(vals)
+
+    def _finish(plan_out):
+        if dia_data is not None and values_dtype is not None and                 jnp.dtype(values_dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            plan_out["dia_data"] = dia_data.astype(ml_dtypes.bfloat16)
+        else:
+            plan_out["dia_data"] = dia_data
+        plan_out["dia_offsets"] = dia_offsets
+        if key is not None:
+            from . import wjd_cache
+
+            wjd_cache.save_plan(key, plan_out)
+        return plan_out
+
     if nnz == 0:
-        return _assemble(vals, rows, rows, rows, rows, 1, n, m, 0, 8,
-                         spill=(rows, cols, vals), slot_info=None)
+        empty = np.zeros(0, np.int64)
+        return _finish(_assemble(
+            vals, empty, empty, empty, empty, 1, n, m, 0, 8,
+            spill=(empty, empty, vals), slot_info=None))
 
     d = cols - rows
     t = rows >> 10
@@ -373,11 +429,7 @@ def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
                          slot_info=(slot_t, slot_wid, k_of_slot),
                          kernel_mode=kernel_mode, mode_u=mode_u,
                          values_dtype=values_dtype)
-    if key is not None:
-        from . import wjd_cache
-
-        wjd_cache.save_plan(key, plan_out)
-    return plan_out
+    return _finish(plan_out)
 
 
 # single source of truth for the x-plane VMEM budget (the pallas layer
@@ -523,6 +575,8 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
         win_base=win_base,
         win_rows=int(win_rows),
         real=real,
+        dia_data=None,
+        dia_offsets=(),
         spill_row=np.asarray(sr, dtype=np.int32),
         spill_col=np.asarray(sc, dtype=np.int32),
         spill_val=np.asarray(sv),
@@ -550,6 +604,9 @@ def _plan_to_wjd(plan: dict) -> WJD:
         diag_u=jnp.asarray(plan["diag_u"]),
         win_base=None if wb is None else jnp.asarray(wb, dtype=jnp.int32),
         win_rows=int(plan.get("win_rows", 0)),
+        dia_data=(None if plan.get("dia_data") is None
+                  else jnp.asarray(plan["dia_data"])),
+        dia_offsets=tuple(plan.get("dia_offsets", ())),
         spill_row=jnp.asarray(plan["spill_row"], dtype=jnp.int32),
         spill_col=jnp.asarray(plan["spill_col"], dtype=jnp.int32),
         spill_val=jnp.asarray(plan["spill_val"]),
@@ -611,7 +668,8 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
         w = csr_to_wjd_plan(v, c, p, shape,
                             wlog=(wl if wl is not None else "auto"),
                             max_slots=max_slots,
-                            kernel_mode=(kmode or "auto"))
+                            kernel_mode=(kmode or "auto"),
+                            split_dia=False)
         if wl is None:
             wl = w["wlog"]
         if kmode is None:

@@ -32,13 +32,14 @@ import numpy as np
 #  v3: per-step win_base/win_rows for the HBM-x roll variant;
 #  v4: windowed-regime group sizing;
 #  v5: gather-mode windows + unified win_rows formula;
-#  v6: plans carry the real-slot mask so stack_wjd can re-derive windows)
-PLAN_VERSION = 6
+#  v6: plans carry the real-slot mask so stack_wjd can re-derive windows;
+#  v7: hybrid DIA-split fields dia_data/dia_offsets)
+PLAN_VERSION = 7
 
 _ARRAY_FIELDS = ("data", "data_lo", "uloc", "brow", "diag_u", "win_base",
-                 "real", "spill_row", "spill_col", "spill_val")
+                 "real", "dia_data", "spill_row", "spill_col", "spill_val")
 _STATIC_FIELDS = ("shape", "pad_lo", "xp_len", "nnz", "group", "wlog",
-                  "win_rows", "value_dtype", "kernel_mode")
+                  "win_rows", "value_dtype", "kernel_mode", "dia_offsets")
 
 
 def cache_dir() -> Optional[str]:
@@ -100,6 +101,7 @@ def load_plan(key: str) -> Optional[dict]:
                 return None
             plan = dict(meta["statics"])
             plan["shape"] = tuple(plan["shape"])
+            plan["dia_offsets"] = tuple(plan.get("dia_offsets") or ())
             for f in _ARRAY_FIELDS:
                 if f in meta["dtypes"]:
                     plan[f] = _np_restore(z[f], meta["dtypes"][f])

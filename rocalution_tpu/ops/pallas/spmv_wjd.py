@@ -733,7 +733,8 @@ def wjd_reference(A: WJD, x):
     if A.spill_row.shape[0]:
         prod = A.spill_val * xd[A.spill_col]
         y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
-    return y
+    yd = _dia_apply(A, xd)
+    return y if yd is None else y + yd
 
 
 @functools.partial(jax.jit, static_argnames=("kc", "interpret"))
@@ -782,6 +783,9 @@ def wjd_spmm(A: WJD, X, *, interpret: bool | None = None):
             [wjd_spmv(A, X[:, j], interpret=interpret) for j in range(k)],
             axis=1,
         )
+    yd = _dia_apply(A, X)
+    if A.nnz == 0 and A.spill_row.shape[0] == 0:
+        return yd if yd is not None else jnp.zeros((n, k), X.dtype)
     pad_hi = A.xp_len - A.pad_lo - m
     outs = []
     for j0 in range(0, k, chunk):
@@ -795,7 +799,21 @@ def wjd_spmm(A: WJD, X, *, interpret: bool | None = None):
     if A.spill_row.shape[0]:
         prod = A.spill_val[:, None] * X[A.spill_col]
         y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
-    return y
+    return y if yd is None else y + yd
+
+
+def _dia_apply(A: WJD, x):
+    """Hybrid split: apply the globally-dense diagonals through the fused
+    XLA static-shift formulation (ops/spmv._spmv_dia — one pad, one fused
+    VPU loop; the round-4 op-floor study shows this is ~2x the roll
+    kernel's per-slot floor). Returns None when the split is absent."""
+    if A.dia_data is None:
+        return None
+    from ...formats.dia import DIA
+    from ..spmv import spmv as _spmv
+
+    D = DIA(data=A.dia_data, offsets=A.dia_offsets, shape=A.shape)
+    return _spmv(D, x)
 
 
 def _pad_plane(A: WJD, x32):
@@ -828,8 +846,11 @@ def wjd_spmv(A: WJD, x, *, interpret: bool | None = None):
             prod = A.spill_val * xd[A.spill_col]
             y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
         return y
+    yd = _dia_apply(A, x)
+    if A.nnz == 0 and A.spill_row.shape[0] == 0:
+        return yd if yd is not None else jnp.zeros((n,), x.dtype)
     y = _wjd_apply(A, _pad_plane(A, x), interpret=interpret).reshape(-1)[:n]
     if A.spill_row.shape[0]:
         prod = A.spill_val * x[A.spill_col]
         y = y + jax.ops.segment_sum(prod, A.spill_row, num_segments=n)
-    return y
+    return y if yd is None else y + yd

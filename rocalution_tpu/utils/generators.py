@@ -230,3 +230,52 @@ def random_spd(n: int, density: float = 0.05, seed: int = 0, dtype=None) -> CSR:
     cols = np.concatenate([cols, np.arange(n)])
     vals = np.concatenate([vals, dom + 1.0])
     return CSR.from_coo(rows, cols, vals, (n, n))
+
+
+def fem_2d_unstructured(npts: int, seed: int = 0, dtype=None,
+                        rcm: bool = True) -> CSR:
+    """P1 finite-element stiffness matrix on a RANDOM Delaunay
+    triangulation of the unit square — a genuinely unstructured operator
+    (variable row degree, irregular sparsity; the bcsstk*/parabolic_fem
+    class the reference benches drive, README.md:66-73). Zero-egress
+    stand-in for SuiteSparse downloads: the mesh is synthetic but the
+    sparsity is true FEM, not a banded model. SPD via a small mass-matrix
+    shift (pure Neumann stiffness has the constant nullspace).
+
+    ``rcm``: apply reverse Cuthill-McKee (the standard pre-solve
+    reordering; the reference ships CMK/RCMK on LocalMatrix too,
+    local_matrix.hpp) — without it a random point cloud has bandwidth ~n.
+    """
+    from scipy.spatial import Delaunay
+
+    dtype = np.dtype(dtype) if dtype is not None else default_dtype()
+    rng = np.random.default_rng(seed)
+    pts = rng.random((npts, 2))
+    tri = Delaunay(pts).simplices                       # (nt, 3)
+    p0, p1, p2 = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    # edge vectors opposite each vertex; grad phi_i = rot90(e_i)/(2A)
+    e0 = p2 - p1
+    e1 = p0 - p2
+    e2 = p1 - p0
+    area2 = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]   # 2*signed area
+    area = np.abs(area2) / 2.0
+    g = np.stack([e0, e1, e2], axis=1)                  # (nt, 3, 2)
+    g = np.stack([-g[..., 1], g[..., 0]], axis=-1)      # rotate 90°
+    g /= area2[:, None, None]
+    # element stiffness K_ij = area * g_i . g_j  (nt, 3, 3)
+    Ke = area[:, None, None] * np.einsum("tid,tjd->tij", g, g)
+    rows = np.repeat(tri, 3, axis=1).reshape(-1)        # i index
+    cols = np.tile(tri, (1, 3)).reshape(-1)             # j index
+    vals = Ke.reshape(-1)
+    # mass shift keeps it SPD (lumped: area/3 per vertex per element)
+    mr = tri.reshape(-1)
+    mv = np.repeat(area / 3.0, 3)
+    rows = np.concatenate([rows, mr])
+    cols = np.concatenate([cols, mr])
+    vals = np.concatenate([vals, mv])
+    A = CSR.from_coo(rows, cols, vals.astype(dtype), (npts, npts))
+    if rcm:
+        from ..ops.ordering import permute_csr, rcmk
+
+        A = permute_csr(A, rcmk(A))
+    return A

@@ -39,7 +39,11 @@ def _check_spmv(A_csr, rng, **kw):
 def test_wjd_laplacian_2d(rng):
     A = rt.laplacian_2d(20, dtype=np.float32)
     W = _check_spmv(A, rng)
-    assert W.nnz == A.nnz
+    # hybrid split: every entry is accounted for between the DIA side and
+    # the residual slot plan
+    ndia = (0 if W.dia_data is None
+            else int(np.count_nonzero(np.asarray(W.dia_data))))
+    assert W.nnz + ndia == A.nnz
 
 
 def test_wjd_random_unstructured(rng):
@@ -273,9 +277,10 @@ def test_wjd_roll_mode(rng):
     stream): auto-selected for banded matrices, exact vs the XLA path;
     forced-roll on an unstructured matrix spills off-mode entries but
     stays correct."""
-    # stencil matrix: auto should pick roll
+    # stencil matrix: auto should pick roll (split_dia off — with the
+    # hybrid split a pure stencil has no residual slots to roll at all)
     A = rt.laplacian_2d(40, dtype=np.float32)
-    W = from_csr(A)
+    W = from_csr(A, split_dia=False)
     assert W.kernel_mode == "roll", W.kernel_mode
     x = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
     ref = np.asarray(spmv(A, x))
@@ -284,7 +289,7 @@ def test_wjd_roll_mode(rng):
 
     # 3D stencil (three windows) too
     A3 = rt.laplacian_3d(12, dtype=np.float32)
-    W3 = from_csr(A3)
+    W3 = from_csr(A3, split_dia=False)
     assert W3.kernel_mode == "roll"
     x3 = jnp.asarray(rng.standard_normal(A3.shape[0]).astype(np.float32))
     np.testing.assert_allclose(
@@ -432,7 +437,9 @@ def test_wjd_roll_window_plan_fields():
     d, i, p = A.numpy_triplet()
     from rocalution_tpu.formats.wjd import csr_to_wjd_plan
 
-    plan = csr_to_wjd_plan(d, i, p, A.shape, cache=False)
+    # split_dia=False: this test inspects the ROLL slot plan internals
+    # (with the hybrid split a pure stencil has no residual slots at all)
+    plan = csr_to_wjd_plan(d, i, p, A.shape, cache=False, split_dia=False)
     assert plan["kernel_mode"] == "roll"
     wb = plan["win_base"]
     WR = plan["win_rows"]
@@ -452,7 +459,7 @@ def test_wjd_roll_window_plan_fields():
     # the interpret-mode apply (whole-x path) still matches scipy
     import scipy.sparse as sp
 
-    W = csr_to_wjd(d, i, p, A.shape, cache=False)
+    W = csr_to_wjd(d, i, p, A.shape, cache=False, split_dia=False)
     x = np.random.default_rng(0).standard_normal(A.shape[0]).astype(
         np.float32)
     y = np.asarray(spmv(W, jnp.asarray(x)))
@@ -508,3 +515,40 @@ def test_stack_wjd_window_fields(monkeypatch):
         rel = np.linalg.norm(y - ref[q * nl:(q + 1) * nl]) / \
             np.linalg.norm(ref)
         assert rel < 1e-5, (q, rel)
+
+
+
+def test_wjd_hybrid_dia_split(rng):
+    """Hybrid DIA split (round-4 VERDICT item 10): globally dense
+    diagonals leave the slot plan and ride the fused XLA static-shift
+    path; partially dense diagonals stay in the kernel; parity is exact
+    on the union."""
+    from rocalution_tpu.formats.wjd import csr_to_wjd
+
+    # stencil: everything splits, kernel has nothing to do
+    A = rt.laplacian_2d(24, dtype=np.float32)
+    d, i, p = A.numpy_triplet()
+    W = csr_to_wjd(d, i, p, A.shape, cache=False)
+    assert W.dia_data is not None and len(W.dia_offsets) == 5
+    assert W.nnz == 0 and W.spill_row.shape[0] == 0
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    ref = sp.csr_matrix((d, i, p), shape=A.shape) @ x
+    got = np.asarray(wjd_spmv(W, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    # mixed: dense main diagonal + scattered band -> partial split
+    Ar = rt.random_banded_spd(4096, bandwidth=512, dtype=np.float32)
+    d, i, p = Ar.numpy_triplet()
+    W = csr_to_wjd(d, i, p, Ar.shape, cache=False)
+    assert W.dia_data is not None and W.nnz > 0
+    x = rng.standard_normal(Ar.shape[0]).astype(np.float32)
+    ref = sp.csr_matrix((d, i, p), shape=Ar.shape) @ x
+    got = np.asarray(wjd_spmv(W, jnp.asarray(x), interpret=True))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5
+
+    # f64 keeps the exact float-float path (no split)
+    A8 = rt.laplacian_2d(16, dtype=np.float64)
+    d, i, p = A8.numpy_triplet()
+    W8 = csr_to_wjd(d, i, p, A8.shape, cache=False)
+    assert W8.dia_data is None and W8.data_lo is not None
