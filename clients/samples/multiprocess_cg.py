@@ -19,7 +19,30 @@ import sys
 import numpy as np
 
 
+def _orchestrate():
+    """No-args mode: launch a 2-process run of this sample (smoke test)."""
+    import os
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    coord = f"localhost:{s.getsockname()[1]}"
+    s.close()
+    here = os.path.abspath(__file__)
+    env = dict(os.environ)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(here)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, here, coord, str(p), "2"],
+                              env=env) for p in (0, 1)]
+    rcs = [p.wait(timeout=240) for p in procs]
+    assert rcs == [0, 0], rcs
+    print("status=2 (2-process orchestration OK)")
+
+
 def main():
+    if len(sys.argv) < 4:
+        return _orchestrate()
     coord, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     import jax
 

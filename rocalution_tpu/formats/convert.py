@@ -128,7 +128,13 @@ def to_csr(mat) -> CSR:
         val = get_host(mat, "data")
         if mat.data_lo is not None:   # float-float: v = hi + lo exactly
             val = val.astype(np.float64) + get_host(mat, "data_lo")
-        u = get_host(mat, "uloc").astype(np.int64)
+        if getattr(mat, "uloc", None) is None:           # roll mode
+            du = np.maximum(np.asarray(get_host(mat, "diag_u")), 0)
+            u = np.broadcast_to(
+                du[:, :, None, None].astype(np.int64),
+                du.shape + (8, 128))
+        else:
+            u = get_host(mat, "uloc").astype(np.int64)
         brow = get_host(mat, "brow").astype(np.int64)
         Tp, K = brow.shape
         tt, kk, ss, ll = np.nonzero(val)

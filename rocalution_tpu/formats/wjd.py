@@ -79,8 +79,6 @@ class WJD(MatrixBase):
     """Windowed jagged-diagonal matrix (see module docstring)."""
 
     data: jnp.ndarray        # (T, K, 8, 128) values (slot vregs)
-    uloc: jnp.ndarray        # (T, K, 8, 128) local offsets in [0, win);
-                             #   uint8 when win <= 256, else int16
     brow: jnp.ndarray        # (T, K) int32 window base row into padded x
     diag_u: jnp.ndarray      # (T, K) int32: constant u for diagonal slots, -1 else
     spill_row: jnp.ndarray   # (nspill,) int32 COO spill (rows beyond slot cap)
@@ -92,6 +90,12 @@ class WJD(MatrixBase):
     # (see ops/pallas/spmv_wjd.py) — the TPU answer to the reference's
     # natively-double csrmv (hip_matrix_csr.cpp:1215-1276).
     data_lo: Optional[jnp.ndarray] = None
+    # (T, K, 8, 128) local offsets in [0, win); uint8 when win <= 256,
+    # else int16. None for ROLL-mode plans: there uloc is exactly
+    # diag_u broadcast over the vreg (one offset per slot by
+    # construction), so storing/uploading it would be ~20% dead operand
+    # weight (235 MB at 16.7M f64) — `uloc_full` reconstructs on demand.
+    uloc: Optional[jnp.ndarray] = None
     # roll mode only: per-grid-step first x row of the step's window
     # ((nsteps,) int32; local slot base = brow - win_base[step]). Lets the
     # kernel keep x in HBM and DMA only a (win_rows, 128) window per step —
@@ -121,6 +125,16 @@ class WJD(MatrixBase):
     group: int = static_field(default=8)     # tiles per kernel grid step
     wlog: int = static_field(default=8)      # log2 window width
     win_rows: int = static_field(default=0)  # x rows per step window (roll)
+
+    @property
+    def uloc_full(self):
+        """uloc plane, reconstructing the roll-mode broadcast on demand."""
+        if self.uloc is not None:
+            return self.uloc
+        Tp, K = self.brow.shape
+        dt = jnp.uint8 if (1 << self.wlog) <= 256 else jnp.int16
+        du = jnp.maximum(self.diag_u, 0).astype(dt)
+        return jnp.broadcast_to(du[:, :, None, None], (Tp, K, 8, 128))
 
     @property
     def nj(self) -> int:
@@ -569,7 +583,7 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     return dict(
         data=val_arr,
         data_lo=val_lo,
-        uloc=u_arr.astype(udtype),
+        uloc=None if kernel_mode == "roll" else u_arr.astype(udtype),
         brow=brow_arr.astype(np.int32),
         diag_u=diag_arr,
         win_base=win_base,
@@ -599,7 +613,8 @@ def _plan_to_wjd(plan: dict) -> WJD:
         data=jnp.asarray(plan["data"]),
         data_lo=(None if plan["data_lo"] is None
                  else jnp.asarray(plan["data_lo"])),
-        uloc=jnp.asarray(plan["uloc"]),
+        uloc=(None if plan.get("uloc") is None
+              else jnp.asarray(plan["uloc"])),
         brow=jnp.asarray(plan["brow"], dtype=jnp.int32),
         diag_u=jnp.asarray(plan["diag_u"]),
         win_base=None if wb is None else jnp.asarray(wb, dtype=jnp.int32),
@@ -707,7 +722,8 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
 
     data = alloc((Tp, K, 8, 128), vdtype)
     dlo = alloc((Tp, K, 8, 128), vdtype) if ff else None
-    uloc = alloc((Tp, K, 8, 128), ws[0]["uloc"].dtype)
+    uloc = (None if ws[0]["uloc"] is None
+            else alloc((Tp, K, 8, 128), ws[0]["uloc"].dtype))
     brow = alloc((Tp, K), np.int64)
     real = alloc((Tp, K), bool)
     # roll mode reads diag_u unconditionally: pad slots must be 0, not -1
@@ -722,7 +738,8 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
         data[q, :tq, :kq] = w["data"][:tq]
         if ff:
             dlo[q, :tq, :kq] = w["data_lo"][:tq]
-        uloc[q, :tq, :kq] = w["uloc"][:tq]
+        if uloc is not None:
+            uloc[q, :tq, :kq] = w["uloc"][:tq]
         brow[q, :tq, :kq] = (w["brow"][:tq]
                              + (pad_lo - w["pad_lo"]) // 128)
         real[q, :tq, :kq] = w["real"][:tq]
@@ -759,7 +776,7 @@ def stack_wjd(parts, shape, *, wlog=None, max_slots: Optional[int] = 128) -> WJD
     return WJD(
         data=jnp.asarray(data),
         data_lo=None if dlo is None else jnp.asarray(dlo),
-        uloc=jnp.asarray(uloc),
+        uloc=None if uloc is None else jnp.asarray(uloc),
         brow=jnp.asarray(brow.astype(np.int32)),
         diag_u=jnp.asarray(diag),
         win_base=None if win_base is None else jnp.asarray(win_base),
@@ -785,7 +802,9 @@ def shard_of(W: WJD, q: int = 0) -> WJD:
 
     return _dc.replace(
         W,
-        data=W.data[q], uloc=W.uloc[q], brow=W.brow[q], diag_u=W.diag_u[q],
+        data=W.data[q],
+        uloc=None if W.uloc is None else W.uloc[q],
+        brow=W.brow[q], diag_u=W.diag_u[q],
         spill_row=W.spill_row[q], spill_col=W.spill_col[q],
         spill_val=W.spill_val[q],
         data_lo=None if W.data_lo is None else W.data_lo[q],

@@ -117,8 +117,8 @@ def load_plan(key: str) -> Optional[dict]:
 # per-entry cap are not persisted at all (a multi-GB write costs more than
 # the replan it saves)
 _DIR_BUDGET_BYTES = int(os.environ.get("ROCALUTION_TPU_PLAN_CACHE_BYTES",
-                                       8 << 30))
-_MAX_ENTRY_BYTES = 1 << 30
+                                       16 << 30))
+_MAX_ENTRY_BYTES = 4 << 30
 
 
 def _evict(d: str, incoming: int) -> None:

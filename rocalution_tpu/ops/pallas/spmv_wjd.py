@@ -728,7 +728,8 @@ def wjd_reference(A: WJD, x):
     shape4 = (Tp, K, 8, 128)
     s = jax.lax.broadcasted_iota(jnp.int32, shape4, 2)
     l = jax.lax.broadcasted_iota(jnp.int32, shape4, 3)
-    idx = (A.brow[:, :, None, None] + s) * 128 + l + A.uloc.astype(jnp.int32)
+    idx = ((A.brow[:, :, None, None] + s) * 128 + l
+           + A.uloc_full.astype(jnp.int32))
     y = jnp.sum(val * xp[idx], axis=1).reshape(-1)[:n]
     if A.spill_row.shape[0]:
         prod = A.spill_val * xd[A.spill_col]
@@ -757,7 +758,7 @@ def _wjd_apply_mrhs(A: WJD, xp3d, *, kc, interpret=False):
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((kc, Tp, 8, 128), acc_dt),
             interpret=interpret,
-        )(_steps3(A), _steps3(A, True), xp3d, A.data, A.uloc)
+        )(_steps3(A), _steps3(A, True), xp3d, A.data, A.uloc_full)
         return y
 
 

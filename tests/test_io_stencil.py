@@ -224,3 +224,46 @@ def test_rocsparseio_dense_vector_roundtrip(tmp_path):
         assert w.dtype == v.dtype
         np.testing.assert_array_equal(v, w)
         assert isinstance(read_rocsparseio(path), np.ndarray)
+
+
+def test_rocsparseio_mcsc_direction(tmp_path):
+    """MCSC (COLUMN-direction MCSX, rocsparseio direction=1): previously
+    rejected (round-4 VERDICT item 9) — now normalized to an MCSR pytree.
+    A hand-built MCSC file of a known matrix must read back apply-equal."""
+    import numpy as np
+
+    import rocalution_tpu as rt
+    from rocalution_tpu.formats import MCSR
+    from rocalution_tpu.io import read_rocsparseio
+    from rocalution_tpu.io.rocsparseio import (_FMT_SPARSE_MCSX,
+                                               _header_words, _name_field,
+                                               _write_array, _write_u64)
+
+    A = rt.laplacian_2d(10, dtype=np.float64)
+    d, i, p = A.numpy_triplet()
+    import scipy.sparse as sp
+
+    S = sp.csr_matrix((d, i, p), shape=A.shape)
+    n = A.shape[0]
+    diag = S.diagonal().copy()
+    offd = (S - sp.diags(diag)).tocsc()
+    offd.sort_indices()
+    # MCSC payload: val[0..n) = diagonal, then off-diagonal data in
+    # COLUMN runs; ptr[j] = n + offd_colptr[j]
+    data = np.concatenate([diag, offd.data])
+    ind = np.concatenate([np.arange(n, dtype=np.int64),
+                          offd.indices.astype(np.int64)])
+    ptr = (offd.indptr.astype(np.int64) + n)
+    path = str(tmp_path / "m.mcsc")
+    with open(path, "wb") as f:
+        f.write(_header_words())
+        f.write(_name_field("mcsc"))
+        _write_u64(f, _FMT_SPARSE_MCSX, 1, n, n, len(data), 1, 1, 3, 0)
+        _write_array(f, ptr.astype("<i8"))
+        _write_array(f, ind.astype("<i8"))
+        _write_array(f, data.astype("<f8"))
+    M = read_rocsparseio(path)
+    assert isinstance(M, MCSR)
+    x = np.random.default_rng(0).standard_normal(n)
+    np.testing.assert_allclose(np.asarray(rt.spmv(M, x)), S @ x,
+                               rtol=1e-12)
