@@ -152,9 +152,21 @@ def main():
             log(f"[done] {name} ({time.monotonic() - t0:.1f}s, "
                 f"{time_left():.0f}s left)")
             emit(name)
-        except Exception:
+        except Exception as e:
             log(f"[FAIL] {name}:")
             traceback.print_exc(file=sys.stderr)
+            if "UNAVAILABLE" in str(e) or "crashed" in str(e):
+                # TPU worker crash: it recovers by itself — wait it out
+                # with patient probes so later sections still run
+                for attempt in range(5):
+                    try:
+                        float(jnp.sum(jax.device_put(
+                            np.ones(8, np.float32))))
+                        log(f"[recovered] after worker crash "
+                            f"(attempt {attempt + 1})")
+                        break
+                    except Exception:
+                        time.sleep(20)
 
     def chain_time(step, x0, *ops, K_max=20000, trials=3, budget_s=0.25,
                    probe=66):

@@ -172,14 +172,15 @@ def csr_to_wjd(vals, cols, indptr, shape, *, wlog="auto",
                max_slots: Optional[int] = 128,
                kernel_mode: str = "auto",
                values_dtype=None, cache: bool = True,
-               split_dia="auto") -> WJD:
+               split_dia="auto", device: bool = True) -> WJD:
     """Host-side CSR -> WJD conversion (vectorized numpy, setup phase).
     Thin wrapper: plan (or load the cached plan — see wjd_cache.py) then
-    materialize device arrays once at the end."""
+    materialize device arrays once at the end (``device=False``: numpy
+    leaves, see _plan_to_wjd)."""
     return _plan_to_wjd(csr_to_wjd_plan(
         vals, cols, indptr, shape, wlog=wlog, max_slots=max_slots,
         kernel_mode=kernel_mode, values_dtype=values_dtype, cache=cache,
-        split_dia=split_dia))
+        split_dia=split_dia), device=device)
 
 
 def csr_to_wjd_plan(vals, cols, indptr, shape, *, wlog="auto",
@@ -605,26 +606,36 @@ def _assemble(vals_k, rows_k, u_k, t_k, k_e, K, n, m, nnz, wlog,
     )
 
 
-def _plan_to_wjd(plan: dict) -> WJD:
-    """Materialize a host plan as the WJD device pytree (one upload per
-    array; the only jnp construction on the conversion path)."""
+def _plan_to_wjd(plan: dict, device: bool = True) -> WJD:
+    """Materialize a host plan as the WJD pytree (one upload per array;
+    the only jnp construction on the conversion path). ``device=False``
+    keeps numpy leaves: for operands consumed only INSIDE jitted solver
+    bodies (tri-solve factors), where they embed as compile-time
+    constants — on the 5 MB/s relay an eager upload at analyze time
+    would be paid again by the compile anyway."""
     wb = plan.get("win_base")
+    put = jnp.asarray if device else np.asarray
+
+    def puti(a, dt):
+        return (jnp.asarray(a, dtype=dt) if device
+                else np.asarray(a, dtype=dt))
+
     return WJD(
-        data=jnp.asarray(plan["data"]),
+        data=put(plan["data"]),
         data_lo=(None if plan["data_lo"] is None
-                 else jnp.asarray(plan["data_lo"])),
+                 else put(plan["data_lo"])),
         uloc=(None if plan.get("uloc") is None
-              else jnp.asarray(plan["uloc"])),
-        brow=jnp.asarray(plan["brow"], dtype=jnp.int32),
-        diag_u=jnp.asarray(plan["diag_u"]),
-        win_base=None if wb is None else jnp.asarray(wb, dtype=jnp.int32),
+              else put(plan["uloc"])),
+        brow=puti(plan["brow"], np.int32),
+        diag_u=put(plan["diag_u"]),
+        win_base=None if wb is None else puti(wb, np.int32),
         win_rows=int(plan.get("win_rows", 0)),
         dia_data=(None if plan.get("dia_data") is None
-                  else jnp.asarray(plan["dia_data"])),
+                  else put(plan["dia_data"])),
         dia_offsets=tuple(plan.get("dia_offsets", ())),
-        spill_row=jnp.asarray(plan["spill_row"], dtype=jnp.int32),
-        spill_col=jnp.asarray(plan["spill_col"], dtype=jnp.int32),
-        spill_val=jnp.asarray(plan["spill_val"]),
+        spill_row=puti(plan["spill_row"], np.int32),
+        spill_col=puti(plan["spill_col"], np.int32),
+        spill_val=put(plan["spill_val"]),
         shape=tuple(plan["shape"]),
         pad_lo=int(plan["pad_lo"]),
         xp_len=int(plan["xp_len"]),

@@ -160,17 +160,23 @@ def prepare_offd(T: CSR) -> CSR:
         return N
     import numpy as np
 
-    from .spmv import maybe_attach_wjd
+    from .spmv import _auto_wjd_on, _wjd_eligible, attach_wjd
 
     dh, ih, ph = T.numpy_triplet()
     rh = T.numpy_rows()
-    # host-resident leaves: the apply is served by the attached WJD (device
-    # planes); uploading a second full CSR of the factor would double the
-    # analyze-phase transfer on the 5 MB/s relay (round-4:
-    # cg_ic0_65k_analyze_ms was ~2.6 s of pure H2D)
+    # CSR leaves host-resident (the apply is served by the WJD planes);
+    # the WJD planes themselves go to DEVICE here: numpy-leaved pallas
+    # operands degrade the compiled program ~200x per call (measured
+    # 5.3 s/solve vs 27 ms at 65k — constants do not pipeline into the
+    # kernel), so the one-time ~0.5 s/factor upload at build is the
+    # right trade even on the 5 MB/s relay
     N = CSR.from_arrays(np.where(rh != ih, dh, 0), ih, ph, T.shape,
                         device=False)
-    maybe_attach_wjd(N)
+    try:
+        if _auto_wjd_on() and _wjd_eligible(N):
+            attach_wjd(N)
+    except ValueError:
+        pass          # too scattered for the kernel: XLA path serves it
     object.__setattr__(T, "_offd_cache", N)
     return N
 
@@ -189,8 +195,24 @@ def trisolve_jacobi(T: CSR, b, *, sweeps: int = 8, unit_diag: bool = False):
     if unit_diag:
         inv_d = jnp.ones((T.shape[0],), b.dtype)
     else:
-        d = extract_diagonal(T)
-        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+        cache = getattr(T, "_host_cache", None)
+        if cache and "data" in cache:
+            # host-built factor: fold the inverse diagonal at TRACE time
+            # (a runtime extract is an XLA scatter that while-loop LICM
+            # does not hoist — measured 26 ms per preconditioner apply
+            # at 65k f64, ~200x the whole 8-sweep tri-solve)
+            dh = np.asarray(cache["data"])
+            ih = np.asarray(cache["indices"])
+            rh = np.asarray(cache["row_ids"])
+            sel = ih == rh
+            dv = np.zeros(T.shape[0], dh.dtype)
+            dv[rh[sel]] = dh[sel]
+            inv_d = jnp.asarray(
+                np.where(dv != 0, 1.0 / np.where(dv == 0, 1.0, dv), 1.0)
+                .astype(b.dtype))
+        else:
+            d = extract_diagonal(T)
+            inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
     # off-diagonal part: built ONCE host-side when T is a host factor and
     # cached on T, so the per-iteration sweep SpMV can ride the WJD fast

@@ -67,21 +67,34 @@ def mixed_precision_dc(
     ikw.setdefault("rel_tol", 1e-3)
     ikw.setdefault("max_iter", 10000)
 
-    op = as_operator(A)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
-    A_low = _cast_format(A, inner_dtype)
-    as_operator(A_low)  # eager: attach the WJD fast path BEFORE tracing
-    # (maybe_attach_wjd refuses to build device caches inside a jit trace)
 
-    from ..utils.hoist import hoisted_jit
+    # Build/Solve split (reference: MixedPrecisionDC::Build casts + builds
+    # once, Solve reuses — mixed_precision.cpp): the hoisted jits and the
+    # cast operator are cached ON the operator object, so repeated solves
+    # pay tracing/compile/upload once, like any built reference solver.
+    key = (str(jnp.dtype(inner_dtype)),
+           getattr(solver, "__name__", repr(solver)),
+           tuple(sorted(ikw.items())), b.shape, str(b.dtype))
+    cache = getattr(A, "_mpdc_cache", None)
+    if cache is not None and cache[0] == key:
+        residual, inner = cache[1], cache[2]
+    else:
+        op = as_operator(A)
+        A_low = _cast_format(A, inner_dtype)
+        as_operator(A_low)  # eager: attach the fast path BEFORE tracing
+        # (maybe_attach_wjd refuses to build device caches inside a trace)
 
-    residual = hoisted_jit(lambda x: b - op(x), x)
-    inner = hoisted_jit(
-        lambda rl: solver(A_low, rl, **ikw)[0], b.astype(inner_dtype)
-    )
+        from ..utils.hoist import hoisted_jit
 
-    r = residual(x)
+        residual = hoisted_jit(lambda b, x: b - op(x), b, x)
+        inner = hoisted_jit(
+            lambda rl: solver(A_low, rl, **ikw)[0], b.astype(inner_dtype)
+        )
+        object.__setattr__(A, "_mpdc_cache", (key, residual, inner))
+
+    r = residual(b, x)
     init_res = float(jnp.linalg.norm(r))
     res = init_res
     status, it = 0, 0
@@ -101,7 +114,7 @@ def mixed_precision_dc(
             break
         d = inner(r.astype(inner_dtype))
         x = x + d.astype(b.dtype)
-        r = residual(x)
+        r = residual(b, x)
         res = float(jnp.linalg.norm(r))
         it += 1
         history.append(res)

@@ -233,7 +233,8 @@ def random_spd(n: int, density: float = 0.05, seed: int = 0, dtype=None) -> CSR:
 
 
 def fem_2d_unstructured(npts: int, seed: int = 0, dtype=None,
-                        rcm: bool = True) -> CSR:
+                        rcm: bool = True, parabolic: bool = False,
+                        dt: float = None) -> CSR:
     """P1 finite-element stiffness matrix on a RANDOM Delaunay
     triangulation of the unit square — a genuinely unstructured operator
     (variable row degree, irregular sparsity; the bcsstk*/parabolic_fem
@@ -267,7 +268,15 @@ def fem_2d_unstructured(npts: int, seed: int = 0, dtype=None,
     rows = np.repeat(tri, 3, axis=1).reshape(-1)        # i index
     cols = np.tile(tri, (1, 3)).reshape(-1)             # j index
     vals = Ke.reshape(-1)
-    # mass shift keeps it SPD (lumped: area/3 per vertex per element)
+    # mass shift keeps it SPD (lumped: area/3 per vertex per element);
+    # ``parabolic=True`` builds M + dt*K instead — the implicit-Euler
+    # heat operator, i.e. the parabolic_fem SuiteSparse semantics — whose
+    # conditioning is solver-friendly (a raw stiffness + tiny mass shift
+    # needs thousands of CG iterations at 100k+)
+    if parabolic:
+        if dt is None:
+            dt = 10.0 / npts        # ~10x the mean element area
+        vals = vals * dt
     mr = tri.reshape(-1)
     mv = np.repeat(area / 3.0, 3)
     rows = np.concatenate([rows, mr])

@@ -177,3 +177,11 @@ def test_fem_2d_unstructured_generator():
                     rel_tol=1e-10, max_iter=3000)
     assert int(info.status) in (1, 2)
     assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
+    # the bench configuration (parabolic operator) converges briskly
+    Ap = rt.fem_2d_unstructured(3000, dtype=np.float64, parabolic=True)
+    bp = np.asarray(rt.spmv(Ap, np.ones(Ap.shape[0])))
+    x, info = rt.cg(Ap, bp, M=rt.precond.ilu(Ap, 0, method="jacobi",
+                                             sweeps=8),
+                    rel_tol=1e-8, max_iter=400)
+    assert int(info.status) in (1, 2)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-5
