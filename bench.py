@@ -358,31 +358,6 @@ def main():
 
     section("amg_setup_2m", 45, sec_amg_setup_2m)
 
-    # ---- real-unstructured operator (round-4 VERDICT item 4): P1 FEM on
-    # a random Delaunay mesh (variable degree, irregular sparsity) ----
-    def sec_fem():
-        from rocalution_tpu.precond import ilu
-
-        Af = rt.fem_2d_unstructured(120_000, dtype=np.float64)
-        bf = np.asarray(
-            rt.spmv(Af, np.ones(Af.shape[0], np.float64)))
-        t0 = time.perf_counter()
-        # ILU(0): FEM stiffness on obtuse triangles is SPD but not an
-        # M-matrix, so IC(0) can legitimately break down
-        M_f = ilu(Af, 0, method="jacobi", sweeps=8)
-        results["fem_ilu0_120k_analyze_ms"] =             (time.perf_counter() - t0) * 1e3
-
-        @jax.jit
-        def solve(b):
-            xs, info = rt.cg(Af, b, M=M_f, rel_tol=1e-8, max_iter=3000)
-            return jnp.sum(xs), info.iterations, info.final_res
-
-        best, iters, res = solve_time(solve, jax.device_put(bf))
-        results["fem_ilu0_120k_solve_ms"] = best * 1e3
-        results["fem_ilu0_120k_iters"] = iters
-        log(f"fem cg+ilu0 120k: iters={iters} final_res={res:.3e}")
-
-    section("fem_ilu0", 60, sec_fem)
 
     # ============ 2. BLAS-1 (reference formulas, benchmark.cpp:104-206) ==
     NV = 1000000
@@ -689,6 +664,32 @@ def main():
         log(f"  spmv[f64 windowed 2.1M, double-buffered] {t*1e6:9.1f} us/op")
 
     section("win_f64_2m", 120, sec_win_f64)
+
+    # ---- real-unstructured operator (round-4 VERDICT item 4): P1 FEM on
+    # a random Delaunay mesh (variable degree, irregular sparsity) ----
+    def sec_fem():
+        from rocalution_tpu.precond import ilu
+
+        Af = rt.fem_2d_unstructured(120_000, dtype=np.float64)
+        bf = np.asarray(
+            rt.spmv(Af, np.ones(Af.shape[0], np.float64)))
+        t0 = time.perf_counter()
+        # ILU(0): FEM stiffness on obtuse triangles is SPD but not an
+        # M-matrix, so IC(0) can legitimately break down
+        M_f = ilu(Af, 0, method="jacobi", sweeps=8)
+        results["fem_ilu0_120k_analyze_ms"] =             (time.perf_counter() - t0) * 1e3
+
+        @jax.jit
+        def solve(b):
+            xs, info = rt.cg(Af, b, M=M_f, rel_tol=1e-8, max_iter=3000)
+            return jnp.sum(xs), info.iterations, info.final_res
+
+        best, iters, res = solve_time(solve, jax.device_put(bf))
+        results["fem_ilu0_120k_solve_ms"] = best * 1e3
+        results["fem_ilu0_120k_iters"] = iters
+        log(f"fem cg+ilu0 120k: iters={iters} final_res={res:.3e}")
+
+    section("fem_ilu0", 60, sec_fem)
 
     for k, v in sorted(results.items()):
         log(f"  {k:28s} {v:12.2f}")

@@ -275,7 +275,7 @@ def fem_2d_unstructured(npts: int, seed: int = 0, dtype=None,
     # needs thousands of CG iterations at 100k+)
     if parabolic:
         if dt is None:
-            dt = 10.0 / npts        # ~10x the mean element area
+            dt = 2.0 / npts         # ~2x the mean element area
         vals = vals * dt
     mr = tri.reshape(-1)
     mv = np.repeat(area / 3.0, 3)
