@@ -149,6 +149,10 @@ def main():
         t0 = time.monotonic()
         try:
             fn()
+            # sync barrier: dispatch is async on this platform — force a
+            # read so a worker crash caused by THIS section's enqueued
+            # work surfaces here, not in an innocent later section
+            float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
             log(f"[done] {name} ({time.monotonic() - t0:.1f}s, "
                 f"{time_left():.0f}s left)")
             emit(name)
@@ -404,7 +408,16 @@ def main():
         attach_wjd(A)                 # the csrmv-analysis stage
         results["wjd_analyze_ms"] = (time.perf_counter() - t0) * 1e3
         results["headline_rows"] = float(N)
-        t = chain_time(lambda c, W: spmv(W, c) * scale, xh, A._wjd_cache)
+        W0 = A._wjd_cache
+        if W0.nnz == 0 and W0.dia_data is not None:
+            # pure-DIA hybrid: measure in SOLVER form — operators are
+            # CLOSED OVER by solver closures, which lets XLA specialize
+            # the static-shift stencil and keep it VMEM-resident
+            # (as-arg costs ~10x: dynamic buffer addresses defeat the
+            # specialization; same effect documented for DIA below)
+            t = chain_time(lambda c: spmv(W0, c) * scale, xh)
+        else:
+            t = chain_time(lambda c, W: spmv(W, c) * scale, xh, W0)
         results["spmv_csr_gbps"] = spmv_bytes / t / 1e9
         results["spmv_csr_gflops"] = 2 * nnz / t / 1e9
         # own byte model (actual streamed bytes, like DIA's): slot values
@@ -485,8 +498,12 @@ def main():
         from rocalution_tpu.formats.wjd import from_csr
 
         Wb = from_csr(A, values_dtype="bfloat16")
-        t = chain_time(lambda c, W: spmv(W, c) * scale, xh, Wb,
-                       budget_s=0.15, probe=20)
+        if Wb.nnz == 0 and Wb.dia_data is not None:
+            t = chain_time(lambda c: spmv(Wb, c) * scale, xh,
+                           budget_s=0.15, probe=20)
+        else:
+            t = chain_time(lambda c, W: spmv(W, c) * scale, xh, Wb,
+                           budget_s=0.15, probe=20)
         results["spmv_csr_bf16_gbps"] = (2 + isize) * nnz / t / 1e9
         log(f"  spmv[csr bf16] {t*1e6:9.1f} us/op")
 

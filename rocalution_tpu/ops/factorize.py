@@ -84,7 +84,10 @@ def _ilu0_numeric(data, cols, indptr, n):
 def _use_native(data) -> bool:
     from .. import native
 
-    return data.dtype == np.float64 and native.available()
+    # f32 inputs upcast to f64 for the native sweep and cast back — the
+    # sweep is sequential host work where the f64 copy is noise, while
+    # the numpy fallback costs seconds at 65k (BENCH r5: 3.5 s analyze)
+    return data.dtype in (np.float32, np.float64) and native.available()
 
 
 def ilu0(A: CSR) -> Tuple[CSR, CSR]:
@@ -101,7 +104,9 @@ def ilu0(A: CSR) -> Tuple[CSR, CSR]:
         from .. import native
 
         cols32 = cols.astype(np.int32)
-        native.ilu0_inplace(indptr.astype(np.int64), cols32, data)
+        d64 = data.astype(np.float64, copy=False)
+        native.ilu0_inplace(indptr.astype(np.int64), cols32, d64)
+        data = d64.astype(data.dtype, copy=False)
     else:
         data = _ilu0_numeric(data, cols, indptr, n)
     return _split_lu(data, cols, indptr, n)
@@ -125,8 +130,10 @@ def ic0(A: CSR) -> CSR:
     if _use_native(lv):
         from .. import native
 
-        native.ic0_inplace(lptr.astype(np.int64), lc.astype(np.int32), lv)
-        return CSR.from_coo(lr, lc, lv, (n, n), device=False)
+        lv64 = lv.astype(np.float64, copy=False)
+        native.ic0_inplace(lptr.astype(np.int64), lc.astype(np.int32), lv64)
+        return CSR.from_coo(lr, lc, lv64.astype(lv.dtype, copy=False),
+                            (n, n), device=False)
 
     for i in range(n):
         rs, re = lptr[i], lptr[i + 1]
