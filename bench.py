@@ -696,6 +696,12 @@ def main():
         # isolation) — release what we can first
         jax.clear_caches()
         gc.collect()
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            log(f"  hbm: {ms.get('bytes_in_use', -1)/1e9:.2f} GB in use, "
+                f"limit {ms.get('bytes_limit', -1)/1e9:.2f} GB")
+        except Exception:
+            pass
 
         Af = rt.fem_2d_unstructured(120_000, dtype=np.float64)
         bf = np.asarray(
@@ -703,7 +709,12 @@ def main():
         t0 = time.perf_counter()
         # ILU(0): FEM stiffness on obtuse triangles is SPD but not an
         # M-matrix, so IC(0) can legitimately break down
-        M_f = ilu(Af, 0, method="jacobi", sweeps=8)
+        # level-scheduled (exact) tri-solves: the jacobi-sweep variant's
+        # program is the one composition that reproducibly crashes the
+        # worker in full-bench context (7/7 runs; every standalone and
+        # pairwise repro passes) — the scan-based solve sidesteps it and
+        # converges in fewer iterations
+        M_f = ilu(Af, 0, method="levels")
         results["fem_ilu0_120k_analyze_ms"] =             (time.perf_counter() - t0) * 1e3
 
         @jax.jit
